@@ -1,0 +1,529 @@
+"""Batched OSQP-equivalent ADMM solver for box-constrained QPs.
+
+Solves, for a *batch* of problem instances sharing one structure::
+
+    minimize    1/2 z'Pz + q'z
+    subject to  l <= Az <= u
+
+This is the TPU-native replacement for the OSQP v0.6.3 solver the reference
+drives through ``osqp_setup``/``osqp_solve`` each control step
+(reference: include/mpc/LMPC/LOptimizer.hpp:261-284).  Same algorithm family
+(ADMM with rho-scaling, over-relaxation alpha, Ruiz equilibration, adaptive
+rho, primal/dual infeasibility certificates, optional active-set polish) and
+the same parameter/termination semantics, but redesigned for the hardware:
+
+* ``P`` (n,n) and ``A`` (m,n) are *shared* across the batch; only
+  ``q``/``l``/``u`` carry a leading batch axis.  The KKT matrix
+  ``M = P + sigma*I + A' R A`` is factorized once per solve and explicitly
+  inverted, so every ADMM iteration is three dense matmuls
+  ``(B,n)x(n,n)/(n,m)`` that map straight onto the MXU — no sparse
+  scatter/gather, no per-instance factorization.
+* All instances iterate in lockstep with per-instance convergence masks
+  (frozen once done); termination is checked every ``check_termination``
+  iterations so the hot loop stays free of reductions.
+* Heterogeneous-structure fleets are handled by ``vmap`` of this function
+  (P/A then batch automatically); the homogeneous fast path never pays for
+  that generality.
+
+Status codes reuse OSQP's integer values so ``Result.solver_status`` is
+directly comparable with the reference's
+(reference: include/mpc/LMPC/LOptimizer.hpp:386-415).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import LParameters
+
+# -- OSQP status values (osqp/include/constants.h of OSQP v0.6.3) -----------
+OSQP_SOLVED = 1
+OSQP_SOLVED_INACCURATE = 2
+OSQP_PRIMAL_INFEASIBLE_INACCURATE = 3
+OSQP_DUAL_INFEASIBLE_INACCURATE = 4
+OSQP_MAX_ITER_REACHED = -2
+OSQP_PRIMAL_INFEASIBLE = -3
+OSQP_DUAL_INFEASIBLE = -4
+OSQP_UNSOLVED = -10
+
+RHO_MIN = 1e-6
+RHO_MAX = 1e6
+RHO_EQ_OVER_RHO_INEQ = 1e3
+ADAPTIVE_RHO_TOLERANCE = 5.0
+INF_BOUND = 1e30  # OSQP's OSQP_INFTY cut-off for "infinite" bounds
+
+
+class QPSolution(NamedTuple):
+    """Solver output; every leaf has a leading batch axis."""
+
+    x: jax.Array  # (B, n) primal
+    y: jax.Array  # (B, m) dual
+    z: jax.Array  # (B, m) constraint activity A x (projected)
+    status: jax.Array  # (B,) int32, OSQP status values
+    iters: jax.Array  # (B,) int32, iterations until this instance froze
+    obj_val: jax.Array  # (B,)
+    pri_res: jax.Array  # (B,) unscaled primal residual (inf-norm)
+    dua_res: jax.Array  # (B,) unscaled dual residual (inf-norm)
+
+
+def _inf_norm(v, axis=-1):
+    return jnp.max(jnp.abs(v), axis=axis)
+
+
+def _ruiz_equilibration(P, A, q_ref, iters: int):
+    """Modified Ruiz equilibration of the KKT-stacked matrix (OSQP scaling.c).
+
+    Returns diagonal scalings ``d`` (n,), ``e`` (m,) and cost scaling ``c``
+    such that the scaled problem is ``(c d P d, c d q, e A d, e l, e u)``.
+    ``q_ref`` is a representative linear term (batch max-abs) used only for
+    the cost scaling; it does not affect the fixed point being computed.
+    """
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+
+    d = jnp.ones((n,), dtype)
+    e = jnp.ones((m,), dtype)
+    c = jnp.asarray(1.0, dtype)
+
+    def body(_, carry):
+        d, e, c, P, A, q = carry
+        # column inf-norms of the stacked [[P, A'], [A, 0]]
+        col_norm_x = jnp.maximum(_inf_norm(P, axis=0), _inf_norm(A, axis=0))
+        col_norm_y = _inf_norm(A, axis=1)
+        dd = 1.0 / jnp.sqrt(jnp.clip(col_norm_x, 1e-12, 1e12))
+        ee = 1.0 / jnp.sqrt(jnp.clip(col_norm_y, 1e-12, 1e12))
+        P = P * dd[None, :] * dd[:, None]
+        A = A * ee[:, None] * dd[None, :]
+        q = q * dd
+        # cost normalization (OSQP: gamma = 1/max(mean colnorm P, ||q||inf))
+        mean_col_p = jnp.mean(_inf_norm(P, axis=0))
+        gamma = 1.0 / jnp.clip(jnp.maximum(mean_col_p, _inf_norm(q)), 1e-12, 1e12)
+        P = P * gamma
+        q = q * gamma
+        return d * dd, e * ee, c * gamma, P, A, q
+
+    d, e, c, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (d, e, c, P, A, q_ref), unroll=True
+    )
+    return d, e, c
+
+
+def _build_kkt_inverse(P, A, rho_vec, sigma):
+    """Explicit inverse of M = P + sigma*I + A' diag(rho) A.
+
+    An explicit inverse (rather than keeping a Cholesky factor) turns every
+    ADMM x-update into a plain matmul: ideal for the MXU and for very wide
+    batches.  M is SPD so the inverse is well-defined.
+    """
+    n = P.shape[0]
+    M = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho_vec[None, :]) @ A
+    cho = jax.scipy.linalg.cho_factor(M)
+    return jax.scipy.linalg.cho_solve(cho, jnp.eye(n, dtype=P.dtype))
+
+
+class _LoopState(NamedTuple):
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    x_prev: jax.Array  # snapshot at last check (for dual-infeas cert)
+    y_prev: jax.Array
+    iters: jax.Array
+    done: jax.Array
+    status: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+    rho: jax.Array  # scalar, shared across batch
+    Minv: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("params", "n_iters", "check_every"),
+)
+def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
+               d, e, c, params: LParameters, n_iters: int, check_every: int):
+    """Scaled-problem ADMM iterations with periodic termination checks.
+
+    All of P/A/q/l/u here are the *scaled* quantities; d/e/c unscale
+    residuals for termination (OSQP checks unscaled residuals by default).
+    """
+    B = qs.shape[0]
+    n = P.shape[1]
+    m = A.shape[0]
+    dtype = P.dtype
+    sigma = jnp.asarray(params.sigma, dtype)
+    alpha = jnp.asarray(params.alpha, dtype)
+
+    def rho_vec_of(rho):
+        rv = jnp.where(rho_mask_eq, RHO_EQ_OVER_RHO_INEQ * rho, rho)
+        return jnp.where(rho_mask_loose, RHO_MIN, rv)
+
+    z0 = x0 @ A.T
+    init = _LoopState(
+        x=x0,
+        z=z0,
+        y=y0,
+        x_prev=x0,
+        y_prev=y0,
+        iters=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        status=jnp.full((B,), OSQP_UNSOLVED, jnp.int32),
+        pri_res=jnp.full((B,), jnp.inf, dtype),
+        dua_res=jnp.full((B,), jnp.inf, dtype),
+        rho=jnp.asarray(rho0, dtype),
+        Minv=_build_kkt_inverse(P, A, rho_vec_of(jnp.asarray(rho0, dtype)), sigma),
+    )
+
+    def one_iteration(state: _LoopState) -> _LoopState:
+        x, z, y = state.x, state.z, state.y
+        rho_vec = rho_vec_of(state.rho)
+        # x-update: (P + sigma I + A'RA) xt = sigma x - q + A'(R z - y)
+        rhs = sigma * x - qs + (rho_vec * z - y) @ A
+        xt = rhs @ state.Minv  # Minv symmetric
+        zt = xt @ A.T
+        x_new = alpha * xt + (1.0 - alpha) * x
+        z_relax = alpha * zt + (1.0 - alpha) * z
+        z_unc = z_relax + y / rho_vec
+        z_new = jnp.clip(z_unc, ls, us)
+        # y is exactly zero on rows where the projection did not clip
+        # (mathematically y+ = y - rho*(y/rho); forcing the exact zero keeps
+        # inactive duals at 0.0 so the polish active set is unambiguous)
+        clipped = (z_unc < ls) | (z_unc > us)
+        y_new = jnp.where(clipped, y + rho_vec * (z_relax - z_new), 0.0)
+        # freeze finished instances
+        keep = state.done[:, None]
+        return state._replace(
+            x=jnp.where(keep, x, x_new),
+            z=jnp.where(keep, z, z_new),
+            y=jnp.where(keep, y, y_new),
+            iters=state.iters + jnp.where(state.done, 0, 1),
+        )
+
+    def termination_check(state: _LoopState) -> _LoopState:
+        x, z, y = state.x, state.z, state.y
+        # -- unscaled residuals ------------------------------------------
+        Ax = x @ A.T
+        Px = x @ P
+        Aty = y @ A
+        pri = _inf_norm((Ax - z) / e[None, :])
+        dua = _inf_norm((Px + qs + Aty) / d[None, :]) / c
+        pri_rel = jnp.maximum(_inf_norm(Ax / e[None, :]), _inf_norm(z / e[None, :]))
+        dua_rel = jnp.maximum(
+            jnp.maximum(_inf_norm(Px / d[None, :]), _inf_norm(Aty / d[None, :])),
+            _inf_norm(qs / d[None, :]),
+        ) / c
+        eps_pri = params.eps_abs + params.eps_rel * pri_rel
+        eps_dua = params.eps_abs + params.eps_rel * dua_rel
+        solved = (pri <= eps_pri) & (dua <= eps_dua)
+
+        # -- infeasibility certificates (unscaled deltas) ----------------
+        # unscaling: x = D x_bar, y = c^-1 E y_bar
+        dy = (y - state.y_prev) * e[None, :] / c
+        dx = (x - state.x_prev) * d[None, :]
+        norm_dy = _inf_norm(dy)
+        norm_dx = _inf_norm(dx)
+
+        # primal infeasibility: ||A' dy|| small and support function negative
+        Atdy = _inf_norm((y - state.y_prev) @ A / d[None, :]) / c
+        u_unscaled = us / e[None, :]
+        l_unscaled = ls / e[None, :]
+        dy_plus = jnp.maximum(dy, 0.0)
+        dy_minus = jnp.minimum(dy, 0.0)
+        sup = jnp.sum(
+            jnp.where(dy_plus > 0, jnp.minimum(u_unscaled, INF_BOUND) * dy_plus, 0.0)
+            + jnp.where(dy_minus < 0, jnp.maximum(l_unscaled, -INF_BOUND) * dy_minus, 0.0),
+            axis=-1,
+        )
+        # OSQP auxil.c is_primal_infeasible: ||dy|| > eps, support function
+        # strictly negative, and A'dy ~ 0
+        eps_p = params.eps_prim_inf * norm_dy
+        prim_inf = (norm_dy > params.eps_prim_inf) & (sup < -eps_p) & (Atdy < eps_p)
+
+        # dual infeasibility: P dx ~ 0, q'dx < 0, A dx in recession cone
+        Pdx = _inf_norm((dx / d[None, :]) @ P / d[None, :]) / c
+        qdx = jnp.sum(qs / d[None, :] * dx, axis=-1) / c
+        Adx = (dx / d[None, :]) @ A.T / e[None, :]
+        eps_d = params.eps_dual_inf * norm_dx
+        u_inf = u_unscaled >= INF_BOUND
+        l_inf = l_unscaled <= -INF_BOUND
+        cone_ok = jnp.all(
+            jnp.where(
+                u_inf & l_inf,
+                True,
+                jnp.where(
+                    u_inf,
+                    Adx >= -eps_d[:, None],
+                    jnp.where(l_inf, Adx <= eps_d[:, None], jnp.abs(Adx) <= eps_d[:, None]),
+                ),
+            ),
+            axis=-1,
+        )
+        # OSQP auxil.c is_dual_infeasible: ||dx|| > eps, q'dx strictly
+        # negative, P dx ~ 0, and A dx in the recession cone
+        dual_inf = (
+            (norm_dx > params.eps_dual_inf)
+            & (Pdx < eps_d)
+            & (qdx < -eps_d)
+            & cone_ok
+        )
+
+        newly = ~state.done
+        status = jnp.where(
+            newly & solved,
+            OSQP_SOLVED,
+            jnp.where(
+                newly & prim_inf,
+                OSQP_PRIMAL_INFEASIBLE,
+                jnp.where(newly & dual_inf, OSQP_DUAL_INFEASIBLE, state.status),
+            ),
+        )
+        done = state.done | solved | prim_inf | dual_inf
+
+        # -- adaptive rho (shared across batch to keep one shared factor) -
+        if params.adaptive_rho:
+            ratio = jnp.sqrt(
+                jnp.clip(
+                    (pri / jnp.clip(pri_rel, 1e-12))
+                    / jnp.clip(dua / jnp.clip(dua_rel, 1e-12), 1e-12),
+                    1e-10,
+                    1e10,
+                )
+            )
+            # geometric mean over still-active instances
+            active = ~done
+            log_ratio = jnp.where(active, jnp.log(ratio), 0.0)
+            n_active = jnp.maximum(jnp.sum(active), 1)
+            rho_est = state.rho * jnp.exp(jnp.sum(log_ratio) / n_active)
+            rho_est = jnp.clip(rho_est, RHO_MIN, RHO_MAX)
+            need_update = jnp.any(active) & (
+                (rho_est > state.rho * ADAPTIVE_RHO_TOLERANCE)
+                | (rho_est < state.rho / ADAPTIVE_RHO_TOLERANCE)
+            )
+            rho_new, Minv_new = jax.lax.cond(
+                need_update,
+                lambda: (rho_est, _build_kkt_inverse(P, A, rho_vec_of(rho_est), sigma)),
+                lambda: (state.rho, state.Minv),
+            )
+        else:
+            rho_new, Minv_new = state.rho, state.Minv
+
+        return state._replace(
+            x_prev=x,
+            y_prev=y,
+            done=done,
+            status=status,
+            pri_res=jnp.where(newly, pri, state.pri_res),
+            dua_res=jnp.where(newly, dua, state.dua_res),
+            rho=rho_new,
+            Minv=Minv_new,
+        )
+
+    n_blocks = max(1, (n_iters + check_every - 1) // check_every)
+
+    def block(state: _LoopState):
+        state = jax.lax.fori_loop(
+            0, check_every, lambda _, s: one_iteration(s), state
+        )
+        return termination_check(state)
+
+    def cond(state_k):
+        state, k = state_k
+        return (k < n_blocks) & ~jnp.all(state.done)
+
+    def body(state_k):
+        state, k = state_k
+        return block(state), k + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(0, jnp.int32)))
+
+    # instances that never converged
+    max_iter_status = jnp.where(
+        (state.pri_res <= 100.0 * (params.eps_abs + params.eps_rel))
+        & (state.dua_res <= 100.0 * (params.eps_abs + params.eps_rel)),
+        OSQP_SOLVED_INACCURATE,
+        OSQP_MAX_ITER_REACHED,
+    )
+    status = jnp.where(state.status == OSQP_UNSOLVED, max_iter_status, state.status)
+    return state._replace(status=status)
+
+
+def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
+    """Active-set polish (OSQP polish.c, penalty/Schur-complement form).
+
+    Identify lower/upper-active rows from the dual signs, then solve the
+    stabilized equality-constrained QP::
+
+        (P + delta I + A_act' (1/delta) A_act) x = -q + A_act' b / delta
+
+    which is the Schur complement of the regularized KKT system.  Unlike
+    OSQP's reduced factorization (which changes dimension per active set),
+    this keeps a fixed (n,n) shape so it batches: active sets enter only as a
+    per-instance 0/1 row weight.  A few iterative-refinement steps recover the
+    accuracy lost to the penalty term.  Per-instance acceptance: keep the
+    polished solution only if it reduces both residual norms (OSQP
+    polish.c:polish()).
+    """
+    dtype = P.dtype
+    n = P.shape[1]
+    delta = jnp.asarray(1e-6 if dtype == jnp.float64 else 1e-4, dtype)
+
+    low_active = (sol_y < 0) | (eq_mask[None, :] & (sol_y <= 0))
+    upp_active = sol_y > 0
+    active = low_active | upp_active
+    b = jnp.where(low_active, l, jnp.where(upp_active, u, 0.0))
+    w = active.astype(dtype) / delta  # (B, m) row weights
+
+    eye = jnp.eye(n, dtype=dtype)
+
+    def solve_one(qi, wi, bi, acti):
+        # regularized reduced operator; refinement targets the original
+        # (unregularized) KKT system so the delta bias is iterated away
+        # (OSQP polish.c: iterative_refinement against the KKT matrix)
+        M = P + delta * eye + (A.T * wi[None, :]) @ A
+        cho = jax.scipy.linalg.cho_factor(M)
+
+        x = jax.scipy.linalg.cho_solve(cho, -qi + (wi * bi) @ A)
+        nu = wi * (x @ A.T - bi)
+
+        def refine(_, carry):
+            x, nu = carry
+            r1 = -qi - x @ P - jnp.where(acti, nu, 0.0) @ A
+            r2 = jnp.where(acti, bi - x @ A.T, 0.0)
+            dx = jax.scipy.linalg.cho_solve(cho, r1 + (wi * r2) @ A)
+            dnu = wi * (dx @ A.T - r2)
+            return x + dx, nu + dnu
+
+        x, nu = jax.lax.fori_loop(
+            0, params.polish_refine_iter, refine, (x, nu), unroll=True
+        )
+        return x, nu
+
+    x_pol, y_pol = jax.vmap(solve_one)(q, w, b, active)
+    y_pol = jnp.where(active, y_pol, 0.0)
+    z_pol = jnp.clip(x_pol @ A.T, l, u)
+
+    def residuals(x, z, y):
+        pri = _inf_norm(x @ A.T - z)
+        dua = _inf_norm(x @ P + q + y @ A)
+        return pri, dua
+
+    pri0, dua0 = residuals(sol_x, sol_z, sol_y)
+    pri1, dua1 = residuals(x_pol, z_pol, y_pol)
+    better = (pri1 <= pri0) & (dua1 <= dua0)
+    bsel = better[:, None]
+    return (
+        jnp.where(bsel, x_pol, sol_x),
+        jnp.where(bsel, y_pol, sol_y),
+        jnp.where(bsel, z_pol, sol_z),
+        jnp.where(better, pri1, pri0),
+        jnp.where(better, dua1, dua0),
+    )
+
+
+def admm_solve(
+    P: jax.Array,
+    A: jax.Array,
+    q: jax.Array,
+    l: jax.Array,
+    u: jax.Array,
+    params: LParameters = LParameters(),
+    warm_x: Optional[jax.Array] = None,
+    warm_y: Optional[jax.Array] = None,
+    eq_mask: Optional[jax.Array] = None,
+) -> QPSolution:
+    """Solve a batch of QPs sharing (P, A) structure.
+
+    Args:
+      P: (n, n) quadratic cost (full symmetric, not upper-tri).
+      A: (m, n) constraint matrix.
+      q, l, u: (B, n) / (B, m) (or unbatched (n,) / (m,)) per-instance data.
+      params: OSQP-style settings (static; selects the compiled program).
+      warm_x, warm_y: optional warm-start primal/dual, shaped like q / l.
+      eq_mask: optional (m,) bool marking structural equality rows (l == u);
+        inferred from the first batch element when omitted.
+
+    Returns a :class:`QPSolution` with a leading batch axis (squeezed back if
+    the inputs were unbatched).
+    """
+    unbatched = q.ndim == 1
+    if unbatched:
+        q, l, u = q[None], l[None], u[None]
+        warm_x = None if warm_x is None else warm_x[None]
+        warm_y = None if warm_y is None else warm_y[None]
+
+    dtype = P.dtype
+    B, n = q.shape
+    m = A.shape[0]
+
+    if eq_mask is None:
+        eq_mask = (l[0] == u[0]) & jnp.isfinite(l[0])
+    loose_mask = (l[0] <= -INF_BOUND) & (u[0] >= INF_BOUND)
+
+    # -- scaling ----------------------------------------------------------
+    if params.scaling_iters > 0:
+        q_ref = jnp.max(jnp.abs(q), axis=0)
+        d, e, c = _ruiz_equilibration(P, A, q_ref, params.scaling_iters)
+    else:
+        d = jnp.ones((n,), dtype)
+        e = jnp.ones((m,), dtype)
+        c = jnp.asarray(1.0, dtype)
+
+    Ps = c * (P * d[None, :] * d[:, None])
+    As = A * e[:, None] * d[None, :]
+    qs = c * (q * d[None, :])
+    # scale bounds, keeping infinities infinite
+    ls = jnp.where(l <= -INF_BOUND, l, l * e[None, :])
+    us = jnp.where(u >= INF_BOUND, u, u * e[None, :])
+
+    if warm_x is not None and params.enable_warm_start:
+        x0 = warm_x / d[None, :]
+        y0 = (jnp.zeros((B, m), dtype) if warm_y is None else warm_y / e[None, :] * c)
+    else:
+        x0 = jnp.zeros((B, n), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+
+    state = _admm_loop(
+        Ps, As, qs, ls, us, x0, y0,
+        params.rho, eq_mask, loose_mask, d, e, c,
+        params, params.maximum_iteration, min(params.check_termination, params.maximum_iteration),
+    )
+
+    # -- unscale ----------------------------------------------------------
+    x = state.x * d[None, :]
+    y = state.y * e[None, :] / c
+    z = state.z / e[None, :]
+    pri_res, dua_res = state.pri_res, state.dua_res
+
+    if params.polish:
+        x_p, y_p, z_p, pri_p, dua_p = _polish(
+            P, A, q, l, u, x, y, z, params, eq_mask
+        )
+        ok = (state.status == OSQP_SOLVED) | (state.status == OSQP_SOLVED_INACCURATE)
+        sel = ok[:, None]
+        x = jnp.where(sel, x_p, x)
+        y = jnp.where(sel, y_p, y)
+        z = jnp.where(sel, z_p, z)
+        pri_res = jnp.where(ok, pri_p, pri_res)
+        dua_res = jnp.where(ok, dua_p, dua_res)
+
+    obj = 0.5 * jnp.einsum("bi,ij,bj->b", x, P, x) + jnp.sum(q * x, axis=-1)
+
+    sol = QPSolution(
+        x=x,
+        y=y,
+        z=z,
+        status=state.status,
+        iters=state.iters,
+        obj_val=obj,
+        pri_res=pri_res,
+        dua_res=dua_res,
+    )
+    if unbatched:
+        sol = jax.tree.map(lambda a: a[0], sol)
+    return sol

@@ -1,0 +1,188 @@
+"""Core public types of the TPU-native MPC framework.
+
+Parity surface mirrors the reference library's ``Types.hpp``
+(reference: include/mpc/Types.hpp:57-206): ``HorizonSlice``, ``ResultStatus``,
+``Parameters``/``LParameters``/``NLParameters``, ``Result`` and ``OptSequence``.
+
+Design differences (TPU-first):
+
+* ``Result`` / ``OptSequence`` are immutable pytrees (registered dataclasses)
+  whose leaves are ``jax.Array``s so a whole *batch* of results can flow
+  through ``jit``/``vmap``/``shard_map`` unchanged.  The reference returns one
+  scalar result per controller object; here a leading batch axis is allowed
+  everywhere.
+* Solver parameters are hashable frozen dataclasses so they can be used as
+  static arguments to ``jax.jit`` (they select compiled specializations, they
+  are not traced).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+import numpy as np
+
+inf = float("inf")
+
+
+def default_dtype():
+    """float64 when jax_enable_x64 is on (parity mode), else float32 (TPU mode)."""
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class HorizonSlice:
+    """Subset ``[start, end)`` of the horizon (reference: include/mpc/Types.hpp:57-82).
+
+    ``HorizonSlice.all()`` is the (-1, -1) sentinel meaning "the whole horizon".
+    """
+
+    start: int
+    end: int
+
+    @staticmethod
+    def all() -> "HorizonSlice":
+        return HorizonSlice(-1, -1)
+
+    @property
+    def is_unset(self) -> bool:
+        return self.start == -1 and self.end == -1
+
+
+class ResultStatus(enum.IntEnum):
+    """Optimization result status (reference: include/mpc/Types.hpp:87-94)."""
+
+    SUCCESS = 0
+    MAX_ITERATION = 1
+    INFEASIBLE = 2
+    ERROR = 3
+    UNKNOWN = 4
+
+
+class ConstraintsType(enum.IntEnum):
+    """Constraint families (reference: include/mpc/Types.hpp:200-206)."""
+
+    INEQ = 0
+    EQ = 1
+    UINEQ = 2
+    UEQ = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class Parameters:
+    """Shared optimizer parameters (reference: include/mpc/Types.hpp:99-115)."""
+
+    maximum_iteration: int = 100
+    time_limit: float = 0.0
+    enable_warm_start: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LParameters(Parameters):
+    """OSQP-style ADMM parameters (reference: include/mpc/Types.hpp:146-161).
+
+    Extra TPU-specific knobs (absent in the reference, defaults keep parity):
+
+    * ``check_termination``: residuals are evaluated every N iterations so the
+      hot loop stays pure matmuls (OSQP uses 25 internally as well).
+    * ``polish_refine_iter``: iterative-refinement steps of the polish KKT
+      solve (OSQP default 3).
+    """
+
+    alpha: float = 1.6
+    rho: float = 1e-6
+    eps_rel: float = 1e-4
+    eps_abs: float = 1e-4
+    eps_prim_inf: float = 1e-3
+    eps_dual_inf: float = 1e-3
+    verbose: bool = False
+    adaptive_rho: bool = True
+    polish: bool = True
+    # TPU-native extensions
+    check_termination: int = 25
+    polish_refine_iter: int = 3
+    sigma: float = 1e-6
+    scaling_iters: int = 10
+
+    def __post_init__(self):
+        if self.maximum_iteration == 100:
+            # OSQP's own default max_iter is 4000; the reference forwards
+            # Parameters.maximum_iteration (default 100) to OSQP
+            # (LOptimizer.hpp:254), so we keep 100 to match.
+            pass
+
+
+@dataclasses.dataclass(frozen=True)
+class NLParameters(Parameters):
+    """SQP parameters (reference: include/mpc/Types.hpp:121-140)."""
+
+    relative_ftol: float = -1.0
+    relative_xtol: float = -1.0
+    absolute_ftol: float = -1.0
+    absolute_xtol: float = -1.0
+    hard_constraints: bool = True
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Result:
+    """Optimization result (reference: include/mpc/Types.hpp:168-182).
+
+    Leaves may carry a leading batch axis.  ``solver_status_msg`` is host-side
+    (non-pytree static string) and only populated by the controller wrapper.
+    """
+
+    cmd: jax.Array  # (..., nu)
+    cost: jax.Array  # (...,)
+    status: jax.Array  # (...,) int32, values of ResultStatus
+    solver_status: jax.Array  # (...,) int32 raw solver code
+    is_feasible: jax.Array  # (...,) bool
+    solver_status_msg: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    @property
+    def status_enum(self) -> ResultStatus:
+        """Host-side convenience for unbatched results."""
+        return ResultStatus(int(np.asarray(self.status)))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OptSequence:
+    """Optimal sequences over the horizon (reference: include/mpc/Types.hpp:184-198).
+
+    Shapes are (..., ph+1, nx / ny / nu): row 0 holds the initial state like
+    the reference (LOptimizer.hpp:304-338).
+    """
+
+    state: jax.Array
+    output: jax.Array
+    input: jax.Array
+
+
+def zero_result(nu: int, dtype=None, batch: tuple = ()) -> Result:
+    import jax.numpy as jnp
+
+    dtype = dtype or default_dtype()
+    return Result(
+        cmd=jnp.zeros(batch + (nu,), dtype),
+        cost=jnp.zeros(batch, dtype),
+        status=jnp.full(batch, int(ResultStatus.UNKNOWN), jnp.int32),
+        solver_status=jnp.zeros(batch, jnp.int32),
+        is_feasible=jnp.zeros(batch, bool),
+    )
+
+
+def zero_sequence(nx: int, ny: int, nu: int, ph: int, dtype=None, batch: tuple = ()) -> OptSequence:
+    import jax.numpy as jnp
+
+    dtype = dtype or default_dtype()
+    return OptSequence(
+        state=jnp.zeros(batch + (ph + 1, nx), dtype),
+        output=jnp.zeros(batch + (ph + 1, ny), dtype),
+        input=jnp.zeros(batch + (ph + 1, nu), dtype),
+    )

@@ -1,0 +1,174 @@
+"""ADMM QP solver unit tests.
+
+The reference leans on OSQP as a black box; here the solver is ours, so it
+gets direct coverage: KKT optimality on random strictly-convex QPs, equality
+handling, warm starts, infeasibility certificates and the polish step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libmpc_tpu.ops import admm
+from libmpc_tpu.types import LParameters
+
+TIGHT = LParameters(maximum_iteration=4000, eps_abs=1e-8, eps_rel=1e-8)
+
+
+def random_qp(rng, n, m, batch=None):
+    L = rng.normal(size=(n, n))
+    P = L @ L.T + 0.1 * np.eye(n)
+    A = rng.normal(size=(m, n))
+    shape = (batch, ) if batch else ()
+    q = rng.normal(size=shape + (n,))
+    # box centered on an achievable point A x_hat so the QP is feasible even
+    # when m > n
+    x_hat = rng.normal(size=shape + (n,))
+    zc = x_hat @ A.T
+    width = rng.uniform(0.1, 1.0, size=shape + (m,))
+    return P, A, q, zc - width, zc + width
+
+
+def kkt_error(P, A, q, l, u, x, y):
+    """Max violation of stationarity, feasibility and complementarity."""
+    stat = np.abs(x @ P + q + y @ A).max()
+    z = x @ A.T
+    pfeas = np.maximum(z - u, 0).max() + np.maximum(l - z, 0).max()
+    comp = np.abs(y * np.where(y > 0, z - u, z - l)).max()
+    return max(stat, pfeas, comp)
+
+
+class TestUnconstrainedAndEquality:
+    def test_unconstrained_matches_linear_solve(self):
+        rng = np.random.default_rng(0)
+        P, A, q, _, _ = random_qp(rng, 6, 4)
+        l = np.full(4, -np.inf)
+        u = np.full(4, np.inf)
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(l), jnp.asarray(u), TIGHT)
+        x_expected = np.linalg.solve(P, -q)
+        assert int(sol.status) == admm.OSQP_SOLVED
+        assert np.allclose(np.asarray(sol.x), x_expected, atol=1e-6)
+
+    def test_equality_constrained(self):
+        rng = np.random.default_rng(1)
+        n, m = 5, 2
+        P, A, q, _, _ = random_qp(rng, n, m)
+        b = rng.normal(size=m)
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(b), jnp.asarray(b), TIGHT)
+        # closed form via KKT
+        K = np.block([[P, A.T], [A, np.zeros((m, m))]])
+        sol_exact = np.linalg.solve(K, np.concatenate([-q, b]))
+        assert np.allclose(np.asarray(sol.x), sol_exact[:n], atol=1e-6)
+        assert np.allclose(np.asarray(sol.x) @ A.T, b, atol=1e-7)
+
+
+class TestBoxQP:
+    def test_active_box(self):
+        # min 1/2 x'x - 1'x s.t. -0.5 <= x <= 0.5 -> x = 0.5
+        n = 3
+        P = np.eye(n)
+        A = np.eye(n)
+        q = -np.ones(n)
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(np.full(n, -0.5)), jnp.asarray(np.full(n, 0.5)),
+                              TIGHT)
+        assert np.allclose(np.asarray(sol.x), 0.5, atol=1e-7)
+        # dual of the active upper bound: y = -(Px + q) at solution -> 0.5
+        assert np.allclose(np.asarray(sol.y), 0.5, atol=1e-6)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_kkt(self, seed):
+        rng = np.random.default_rng(seed)
+        P, A, q, l, u = random_qp(rng, 8, 12)
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(l), jnp.asarray(u), TIGHT)
+        assert int(sol.status) == admm.OSQP_SOLVED
+        err = kkt_error(P, A, q, l, u, np.asarray(sol.x), np.asarray(sol.y))
+        assert err < 1e-5
+
+
+class TestBatched:
+    def test_batch_matches_loop(self):
+        rng = np.random.default_rng(7)
+        P, A, q, l, u = random_qp(rng, 6, 9, batch=5)
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(l), jnp.asarray(u), TIGHT)
+        assert sol.x.shape == (5, 6)
+        for i in range(5):
+            err = kkt_error(P, A, q[i], l[i], u[i], np.asarray(sol.x[i]), np.asarray(sol.y[i]))
+            assert err < 1e-5
+
+    def test_heterogeneous_structure_via_vmap(self):
+        rng = np.random.default_rng(11)
+        n, m, B = 4, 6, 3
+        Ps, As, qs, ls, us = [], [], [], [], []
+        for _ in range(B):
+            P, A, q, l, u = random_qp(rng, n, m)
+            Ps.append(P), As.append(A), qs.append(q), ls.append(l), us.append(u)
+        Ps, As, qs, ls, us = map(np.stack, (Ps, As, qs, ls, us))
+        solve = jax.vmap(lambda P, A, q, l, u: admm.admm_solve(P, A, q, l, u, TIGHT))
+        sol = solve(*map(jnp.asarray, (Ps, As, qs, ls, us)))
+        for i in range(B):
+            err = kkt_error(Ps[i], As[i], qs[i], ls[i], us[i],
+                            np.asarray(sol.x[i]), np.asarray(sol.y[i]))
+            assert err < 1e-5
+
+
+class TestWarmStart:
+    def test_warm_start_converges_fast(self):
+        rng = np.random.default_rng(3)
+        P, A, q, l, u = random_qp(rng, 8, 10)
+        params = LParameters(maximum_iteration=4000, eps_abs=1e-9, eps_rel=1e-9,
+                             enable_warm_start=True, polish=False,
+                             check_termination=5)
+        args = tuple(map(jnp.asarray, (P, A, q, l, u)))
+        cold = admm.admm_solve(*args, params)
+        warm = admm.admm_solve(*args, params, warm_x=cold.x, warm_y=cold.y)
+        assert int(warm.iters) <= int(cold.iters) / 2
+        assert np.allclose(np.asarray(warm.x), np.asarray(cold.x), atol=1e-6)
+
+
+class TestInfeasibility:
+    def test_primal_infeasible(self):
+        # x <= -1 and x >= 1 simultaneously
+        P = np.eye(1)
+        A = np.array([[1.0], [1.0]])
+        q = np.zeros(1)
+        l = np.array([-np.inf, 1.0])
+        u = np.array([-1.0, np.inf])
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(l), jnp.asarray(u),
+                              LParameters(maximum_iteration=4000))
+        assert int(sol.status) == admm.OSQP_PRIMAL_INFEASIBLE
+
+    def test_dual_infeasible(self):
+        # unbounded below: P = 0, q = -1, x >= 0 free above
+        P = np.zeros((1, 1))
+        A = np.eye(1)
+        q = np.array([-1.0])
+        l = np.array([0.0])
+        u = np.array([np.inf])
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(l), jnp.asarray(u),
+                              LParameters(maximum_iteration=4000))
+        assert int(sol.status) == admm.OSQP_DUAL_INFEASIBLE
+
+
+class TestPolish:
+    def test_polish_improves_loose_solve(self):
+        rng = np.random.default_rng(5)
+        P, A, q, l, u = random_qp(rng, 8, 12)
+        loose_nopolish = LParameters(maximum_iteration=200, eps_abs=1e-3,
+                                     eps_rel=1e-3, polish=False)
+        loose_polish = LParameters(maximum_iteration=200, eps_abs=1e-3,
+                                   eps_rel=1e-3, polish=True)
+        args = tuple(map(jnp.asarray, (P, A, q, l, u)))
+        rough = admm.admm_solve(*args, loose_nopolish)
+        polished = admm.admm_solve(*args, loose_polish)
+        err_rough = kkt_error(P, A, q, l, u, np.asarray(rough.x), np.asarray(rough.y))
+        err_pol = kkt_error(P, A, q, l, u, np.asarray(polished.x), np.asarray(polished.y))
+        assert err_pol <= err_rough
+        assert err_pol < 1e-6
