@@ -254,18 +254,27 @@ def build_time_varying(
     # q over du blocks: -w_du_i * du_ref_i for i < ph (hpp:590-594)
     q_du = -(prob.w_du * du_ref_e[..., :ph, :])
 
-    batch = q_aug.shape[:-2]
+    batch = jnp.broadcast_shapes(
+        x0.shape[:-1], u0.shape[:-1], y_ref.shape[:-2], u_meas.shape[:-2]
+    )
+    q_aug = jnp.broadcast_to(q_aug, batch + q_aug.shape[-2:])
+    q_du = jnp.broadcast_to(q_du, batch + q_du.shape[-2:])
     q = jnp.concatenate(
         [q_aug.reshape(batch + (-1,)), q_du.reshape(batch + (-1,))], axis=-1
     )
 
     # equality RHS: block 0 = [-x0; -u0], block i>0 = -ssBv d_{i-1} (hpp:597-613)
-    leq_tail = -(u_meas_e[..., 1:, :] @ prob.ssBv.T)  # (..., ph, nxu)
     leq_head = -jnp.concatenate([x0, u0], axis=-1)[..., None, :]  # (..., 1, nxu)
+    leq_tail = -(u_meas_e[..., 1:, :] @ prob.ssBv.T)  # (..., ph, nxu)
+    # x0 may carry a batch axis while the references do not — broadcast both
+    # operands to the joint batch shape before stacking
+    leq_head = jnp.broadcast_to(leq_head, batch + leq_head.shape[-2:])
+    leq_tail = jnp.broadcast_to(leq_tail, batch + leq_tail.shape[-2:])
     leq = jnp.concatenate([leq_head, leq_tail], axis=-2).reshape(batch + (-1,))
 
     # inequality offsets on the output rows: -ssDv[:ny] d_i (hpp:605-607)
-    out_off = -(u_meas_e @ prob.ssDv[:ny, :].T).reshape(batch + (-1,))
+    out_off = -(u_meas_e @ prob.ssDv[:ny, :].T)
+    out_off = jnp.broadcast_to(out_off, batch + out_off.shape[-2:]).reshape(batch + (-1,))
     offset = jnp.zeros(batch + (dims.n_ineq,), q.dtype)
     offset = jax.lax.dynamic_update_slice_in_dim(
         offset, out_off, dims.n_box, axis=-1
