@@ -1,0 +1,403 @@
+"""Nonlinear MPC controller front-end.
+
+API-parity shell over the functional NLP core: setter surface and error
+semantics mirror ``mpc::NLMPC`` (reference: include/mpc/NLMPC.hpp:54-418);
+the solve path jits [warm-start shift -> SQP with exact autodiff derivatives
+-> sequence unpack] into one device program, replacing the reference's
+NLopt-SLSQP + finite-difference pipeline
+(reference: include/mpc/NLMPC/NLOptimizer.hpp:412-638).
+
+Batching: ``optimize`` accepts a leading batch axis on ``x0``/``last_u``;
+the SQP (including its inner ADMM QPs) is vmapped across the fleet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dims import NLDims
+from ..ops import sqp
+from ..types import (
+    HorizonSlice,
+    NLParameters,
+    OptSequence,
+    Result,
+    ResultStatus,
+    default_dtype,
+)
+from ..utils.logger import Logger, LogLevel
+from ..utils.profiler import Profiler, SolutionStats
+from . import problem as nlp
+
+
+def _status_from_nlopt(code):
+    """nlopt result -> ResultStatus
+    (reference: include/mpc/NLMPC/NLOptimizer.hpp:729-750)."""
+    out = jnp.full(code.shape, int(ResultStatus.UNKNOWN), jnp.int32)
+    for nl, rs in [
+        (sqp.NLOPT_FAILURE, ResultStatus.ERROR),
+        (sqp.NLOPT_ROUNDOFF_LIMITED, ResultStatus.ERROR),
+        (sqp.NLOPT_SUCCESS, ResultStatus.SUCCESS),
+        (sqp.NLOPT_STOPVAL_REACHED, ResultStatus.SUCCESS),
+        (sqp.NLOPT_FTOL_REACHED, ResultStatus.SUCCESS),
+        (sqp.NLOPT_XTOL_REACHED, ResultStatus.SUCCESS),
+        (sqp.NLOPT_MAXEVAL_REACHED, ResultStatus.MAX_ITERATION),
+        (sqp.NLOPT_MAXTIME_REACHED, ResultStatus.MAX_ITERATION),
+    ]:
+        out = jnp.where(code == nl, int(rs), out)
+    return out
+
+
+class NLMPC:
+    """Nonlinear MPC (reference: include/mpc/NLMPC.hpp:30)::
+
+        controller = NLMPC(nx=2, nu=1, ny=2, ph=10, ch=5, ineq=11, eq=0)
+
+    User model callables are JAX-traceable, return-value style (like the
+    reference's Python bindings, python/pybind_export.cpp:20-57)::
+
+        controller.set_state_space_function(lambda x, u, k: dx)
+        controller.set_objective_function(lambda X, Y, U, e: cost)
+        controller.set_ineq_con_function(lambda X, Y, U, e: values)
+        controller.set_eq_con_function(lambda X, U: values)
+    """
+
+    def __init__(self, nx, nu, ny, ph, ch, ineq, eq, dtype=None):
+        self.dims = NLDims(nx, nu, ny, ph, ch, ineq, eq).validate()
+        self.dtype = dtype or default_dtype()
+        self._fns = nlp.NLFunctions()
+        self._params = NLParameters()
+        self._state_scaling = jnp.ones((nx,), self.dtype)
+        self._input_scaling = jnp.ones((nu,), self.dtype)
+        self._ineq_tol = 1e-10
+        self._eq_tol = 1e-10
+        nz = self.dims.nz
+        self._lb = np.full(nz, -np.inf)
+        self._ub = np.full(nz, np.inf)
+        # the slack entry is pinned to zero under hard constraints
+        # (reference: include/mpc/NLMPC/NLOptimizer.hpp:180-186); with soft
+        # constraints it is released to [0, inf) — a deliberate fix of the
+        # reference, which never un-pins it once set
+        self._apply_slack_bounds()
+        self._opt_vector: Optional[jax.Array] = None
+        self._current_slack = 0.0
+        self._first_iteration = True
+        self._result = Result(
+            cmd=jnp.zeros((nu,), self.dtype),
+            cost=jnp.zeros((), self.dtype),
+            status=jnp.asarray(int(ResultStatus.UNKNOWN), jnp.int32),
+            solver_status=jnp.asarray(0, jnp.int32),
+            is_feasible=jnp.asarray(False),
+        )
+        self._sequence = OptSequence(
+            state=jnp.zeros((ph + 1, nx), self.dtype),
+            output=jnp.zeros((ph + 1, ny), self.dtype),
+            input=jnp.zeros((ph + 1, nu), self.dtype),
+        )
+        self._profiler = Profiler()
+        self._solve_fn = None  # compiled closure, invalidated by setters
+
+    # ------------------------------------------------------------------
+    # configuration surface (parity with NLMPC.hpp setters)
+    # ------------------------------------------------------------------
+    def set_logger_level(self, level: LogLevel) -> bool:
+        Logger.instance().set_level(level)
+        return True
+
+    def set_logger_prefix(self, prefix: str) -> bool:
+        Logger.instance().set_prefix(prefix)
+        return True
+
+    def set_discretization_sampling_time(self, ts: float) -> bool:
+        """Marks the model continuous-time with trapezoidal defects
+        (reference: include/mpc/NLMPC.hpp:80-90)."""
+        self._fns = dataclasses.replace(self._fns, continuous=True, ts=float(ts))
+        self._invalidate()
+        return True
+
+    def set_optimizer_parameters(self, params: NLParameters) -> None:
+        if not isinstance(params, NLParameters):
+            raise TypeError("NLMPC expects NLParameters")
+        self._params = params
+        self._apply_slack_bounds()
+        self._invalidate()
+
+    def _apply_slack_bounds(self):
+        if self._params.hard_constraints:
+            self._lb[-1] = 0.0
+            self._ub[-1] = 0.0
+        else:
+            self._lb[-1] = 0.0
+            self._ub[-1] = np.inf
+
+    def set_input_scale(self, scaling) -> None:
+        """(reference: include/mpc/NLMPC.hpp:108-115)."""
+        self._input_scaling = jnp.asarray(scaling, self.dtype).reshape(self.dims.nu)
+        self._invalidate()
+
+    def set_state_scale(self, scaling) -> None:
+        """(reference: include/mpc/NLMPC.hpp:123-130)."""
+        self._state_scaling = jnp.asarray(scaling, self.dtype).reshape(self.dims.nx)
+        self._invalidate()
+
+    def set_objective_function(self, handle: Callable) -> bool:
+        """(reference: include/mpc/NLMPC.hpp:139-153)."""
+        self._fns = dataclasses.replace(self._fns, objective_fn=handle)
+        self._invalidate()
+        return True
+
+    def set_state_space_function(self, handle: Callable, eq_tol: float = 1e-10) -> bool:
+        """(reference: include/mpc/NLMPC.hpp:165-193)."""
+        self._fns = dataclasses.replace(self._fns, state_fn=handle)
+        self._defect_tol = eq_tol
+        self._invalidate()
+        return True
+
+    def set_output_function(self, handle: Callable) -> bool:
+        """(reference: include/mpc/NLMPC.hpp:202-215)."""
+        self._fns = dataclasses.replace(self._fns, output_fn=handle)
+        self._invalidate()
+        return True
+
+    def set_ineq_con_function(self, handle: Callable, tol: float = 1e-10) -> bool:
+        """Refuses when the ineq count is zero
+        (reference: include/mpc/NLMPC.hpp:228-248)."""
+        if self.dims.ineq == 0:
+            Logger.instance().error(
+                "The number of inequality constraints is zero, you cannot "
+                "define a custom callback for the inequality constraints"
+            )
+            return False
+        self._fns = dataclasses.replace(self._fns, ineq_fn=handle)
+        self._ineq_tol = tol
+        self._invalidate()
+        return True
+
+    def set_eq_con_function(self, handle: Callable, tol: float = 1e-10) -> bool:
+        """Refuses when the eq count is zero
+        (reference: include/mpc/NLMPC.hpp:261-281)."""
+        if self.dims.eq == 0:
+            Logger.instance().error(
+                "The number of equality constraints is zero, you cannot "
+                "define a custom callback for the equality constraints"
+            )
+            return False
+        self._fns = dataclasses.replace(self._fns, eq_fn=handle)
+        self._eq_tol = tol
+        self._invalidate()
+        return True
+
+    # -- bounds (decision-space, like NLOptimizer.hpp:346-404) -----------
+    def set_state_bounds(self, x_min, x_max, slice: Optional[HorizonSlice] = None) -> bool:
+        x_min = np.asarray(x_min, float)
+        x_max = np.asarray(x_max, float)
+        if x_min.ndim == 2 and slice is None:
+            ok = True
+            for i in range(self.dims.ph):
+                ok &= self.set_state_bounds(x_min[:, i], x_max[:, i], HorizonSlice(i, i + 1))
+            return ok
+        slice = slice if slice is not None else HorizonSlice.all()
+        if not (slice.is_unset or self.is_prediction_horizon_slice_valid(slice)):
+            return False
+        start = 0 if slice.start == -1 else slice.start
+        end = self.dims.ph if slice.end == -1 else slice.end
+        nx = self.dims.nx
+        for i in range(start, end):
+            self._lb[i * nx : (i + 1) * nx] = x_min
+            self._ub[i * nx : (i + 1) * nx] = x_max
+        self._invalidate()
+        return True
+
+    def set_input_bounds(self, u_min, u_max, slice: Optional[HorizonSlice] = None) -> bool:
+        u_min = np.asarray(u_min, float)
+        u_max = np.asarray(u_max, float)
+        if u_min.ndim == 2 and slice is None:
+            ok = True
+            for i in range(self.dims.ch):
+                ok &= self.set_input_bounds(u_min[:, i], u_max[:, i], HorizonSlice(i, i + 1))
+            return ok
+        slice = slice if slice is not None else HorizonSlice.all()
+        if not (slice.is_unset or self.is_control_horizon_slice_valid(slice)):
+            return False
+        start = 0 if slice.start == -1 else slice.start
+        end = self.dims.ch if slice.end == -1 else slice.end
+        nu, off = self.dims.nu, self.dims.ph * self.dims.nx
+        for i in range(start, end):
+            self._lb[off + i * nu : off + (i + 1) * nu] = u_min
+            self._ub[off + i * nu : off + (i + 1) * nu] = u_max
+        self._invalidate()
+        return True
+
+    def set_output_bounds(self, y_min, y_max, slice: Optional[HorizonSlice] = None) -> bool:
+        """Output bounds are not available for NLMPC
+        (reference: include/mpc/NLMPC.hpp:342-350)."""
+        raise RuntimeError("Output constraints cannot be set for this type of MPC")
+
+    # ------------------------------------------------------------------
+    # solve
+    # ------------------------------------------------------------------
+    def _invalidate(self):
+        self._solve_fn = None
+
+    def _build_solve_fn(self):
+        dims = self.dims
+        fns = self._fns
+        ss, us = self._state_scaling, self._input_scaling
+        params = self._params
+        lb = jnp.asarray(self._lb, self.dtype)
+        ub = jnp.asarray(self._ub, self.dtype)
+        ineq_tol = self._ineq_tol
+        eq_tol = self._eq_tol
+
+        if fns.state_fn is None or fns.objective_fn is None:
+            raise RuntimeError(
+                "NLMPC requires a state-space function and an objective "
+                "function before optimize()"
+            )
+
+        def solve_one(z_prev, use_prev, x0, u0, slack0):
+            guess = nlp.initial_guess(dims, x0, u0, slack0, self.dtype)
+            z = jnp.where(use_prev, z_prev, guess)
+            z = nlp.fix_bounds(z, lb, ub)
+            z = nlp.shift_warm_start(dims, z)
+            z = z.at[-1].set(slack0)
+
+            f_fn = lambda zz: nlp.objective(dims, fns, ss, us, zz, x0)
+            ceq_parts = [lambda zz: nlp.state_defects(dims, fns, ss, us, zz, x0)]
+            if fns.eq_fn is not None:
+                ceq_parts.append(lambda zz: nlp.user_eq(dims, fns, ss, us, zz, x0))
+            ceq_fn = lambda zz: jnp.concatenate([p(zz) for p in ceq_parts])
+            cin_fn = (
+                (lambda zz: nlp.user_ineq(dims, fns, ss, us, zz, x0))
+                if fns.ineq_fn is not None
+                else None
+            )
+
+            sol = sqp.sqp_solve(f_fn, ceq_fn, cin_fn, z, lb, ub, params)
+
+            X, U, slack = nlp.unwrap(dims, sol.z, x0, ss, us)
+            Y = nlp.get_output(dims, fns, X, U)
+            feas = nlp.is_feasible(dims, fns, ss, us, sol.z, x0, ineq_tol, eq_tol)
+            return sol, X, U, Y, slack, feas
+
+        @jax.jit
+        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd):
+            batched = x0.ndim == 2
+            fn = jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0)) if batched else solve_one
+            sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0)
+
+            failed = (sol.status == sqp.NLOPT_FAILURE) | (
+                sol.status == sqp.NLOPT_ROUNDOFF_LIMITED
+            ) | ~jnp.all(jnp.isfinite(sol.z), axis=-1)
+            cmd = U[..., 0, :]
+            cmd = jnp.where(failed[..., None], prev_cmd, cmd)
+            zero = failed[..., None, None]
+            result = Result(
+                cmd=cmd,
+                cost=jnp.where(failed, jnp.inf, sol.obj),
+                status=jnp.where(
+                    failed,
+                    int(ResultStatus.ERROR),
+                    _status_from_nlopt(sol.status),
+                ).astype(jnp.int32),
+                solver_status=jnp.where(failed, -1, sol.status).astype(jnp.int32),
+                is_feasible=feas & ~failed,
+            )
+            seq = OptSequence(
+                state=jnp.where(zero, 0.0, X),
+                output=jnp.where(zero, 0.0, Y),
+                input=jnp.where(zero, 0.0, U),
+            )
+            return result, seq, sol.z, slack, sol.iters
+
+        return solve
+
+    def optimize(self, x0, last_u) -> Result:
+        """Compute the optimal control action
+        (reference: include/mpc/IMPC.hpp:149-166 + NLOptimizer.hpp:412-638).
+
+        ``x0``/``last_u`` may carry one leading batch axis.
+        """
+        if self._solve_fn is None:
+            self._solve_fn = self._build_solve_fn()
+        x0 = jnp.asarray(x0, self.dtype)
+        last_u = jnp.asarray(last_u, self.dtype)
+        batch = x0.shape[:-1]
+
+        use_prev = (
+            not self._first_iteration
+            and self._params.enable_warm_start
+            and self._opt_vector is not None
+            and self._opt_vector.shape[:-1] == batch
+        )
+        z_prev = (
+            self._opt_vector
+            if use_prev
+            else jnp.zeros(batch + (self.dims.nz,), self.dtype)
+        )
+        slack0 = jnp.broadcast_to(
+            jnp.asarray(self._current_slack, self.dtype), batch
+        ) if batch else jnp.asarray(self._current_slack, self.dtype)
+        prev_cmd = (
+            self._result.cmd
+            if self._result.cmd.shape[:-1] == batch
+            else jnp.zeros(batch + (self.dims.nu,), self.dtype)
+        )
+
+        self._profiler.solution_start()
+        result, seq, z_out, slack, iters = self._solve_fn(
+            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd
+        )
+        jax.block_until_ready(result.cmd)
+        self._opt_vector = z_out
+        self._current_slack = slack
+        self._first_iteration = False
+        self._result, self._sequence = result, seq
+        self._last_iters = iters
+        self._profiler.solution_end(result)
+        return result
+
+    def get_last_result(self) -> Result:
+        return self._result
+
+    def get_optimal_sequence(self) -> OptSequence:
+        return self._sequence
+
+    def get_execution_stats(self) -> SolutionStats:
+        return self._profiler.get_stats()
+
+    def reset_stats(self) -> None:
+        self._profiler.reset()
+
+    # -- slice validation (reference: include/mpc/IMPC.hpp:244-283) -------
+    def is_slice_unset(self, slice: HorizonSlice) -> bool:
+        return slice.is_unset
+
+    def is_prediction_horizon_slice_valid(self, slice: HorizonSlice) -> bool:
+        return not (
+            slice.start >= slice.end
+            or slice.start > self.dims.ph
+            or slice.end > self.dims.ph
+        )
+
+    def is_control_horizon_slice_valid(self, slice: HorizonSlice) -> bool:
+        return not (
+            slice.start >= slice.end
+            or slice.start > self.dims.ch
+            or slice.end > self.dims.ch
+        )
+
+    # -- test hooks ------------------------------------------------------
+    def get_lower_bound(self) -> np.ndarray:
+        """(reference: include/mpc/NLMPC/NLOptimizer.hpp:645-648)."""
+        return self._lb.copy()
+
+    def get_upper_bound(self) -> np.ndarray:
+        """(reference: include/mpc/NLMPC/NLOptimizer.hpp:655-658)."""
+        return self._ub.copy()

@@ -1,0 +1,180 @@
+"""Nonlinear MPC functional core.
+
+The reference decomposes the NLP into Model/Mapping/Objective/Constraints
+objects with mutable state and finite-difference derivatives
+(reference: include/mpc/NLMPC/{Model,Mapping,Objective,Constraints}.hpp).
+Here the same mathematics is a set of *pure functions of the decision vector*,
+differentiated exactly with JAX autodiff — one ``jacfwd`` pass replaces the
+reference's O(ph^2 (nx+nu) nx) central-difference model evaluations per SQP
+iteration (Constraints.hpp:844-905, Objective.hpp:198-265).
+
+Decision vector (identical to the reference, NLOptimizer.hpp:64)::
+
+    z = [x_1 .. x_ph  (ph*nx, scaled states) ;
+         u_0 .. u_{ch-1} (nu*ch, scaled blocked moves) ;
+         slack (1)]
+
+Move blocking: the ch blocked moves expand to ph steps with the last move
+held for ``ph-ch+1`` steps (Mapping.hpp:221-257) — expressed as a gather
+instead of the reference's Iz2u matmul.  Row ``ph`` of U duplicates row
+``ph-1`` (Mapping.hpp:194).
+
+Scaling: physical state = decision / state_scaling; physical input =
+input_scaling * decision (Sz2u diag blocks, Mapping.hpp:236-242).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dims import NLDims
+
+
+@dataclasses.dataclass(frozen=True)
+class NLFunctions:
+    """User-supplied model callables (the analog of the reference's handle
+    typedefs, IDimensionable.hpp:94-149), in return-value style like the
+    Python bindings (python/pybind_export.cpp:20-57):
+
+    * ``state_fn(x, u, k) -> dx``  (continuous) or ``-> x_next`` (discrete)
+    * ``output_fn(x, u, k) -> y``  (optional)
+    * ``objective_fn(X, Y, U, slack) -> scalar``
+    * ``ineq_fn(X, Y, U, slack) -> (ineq,)``  (feasible iff <= 0)
+    * ``eq_fn(X, U) -> (eq,)``  (feasible iff == 0)
+    """
+
+    state_fn: Optional[Callable] = None
+    output_fn: Optional[Callable] = None
+    objective_fn: Optional[Callable] = None
+    ineq_fn: Optional[Callable] = None
+    eq_fn: Optional[Callable] = None
+    continuous: bool = False
+    ts: float = 0.0
+
+
+class Unwrapped(NamedTuple):
+    X: jax.Array  # (ph+1, nx) physical states, row 0 = x0
+    U: jax.Array  # (ph+1, nu) physical inputs, row ph duplicates ph-1
+    slack: jax.Array  # scalar
+
+
+def block_index(ph: int, ch: int) -> jax.Array:
+    """Row -> blocked-move index implementing Iz2u as a gather
+    (reference: include/mpc/NLMPC/Mapping.hpp:221-257)."""
+    idx = jnp.minimum(jnp.arange(ph), ch - 1)
+    return jnp.concatenate([idx, idx[-1:]])  # row ph duplicates row ph-1
+
+
+def unwrap(dims: NLDims, z, x0, state_scaling, input_scaling) -> Unwrapped:
+    """Decision vector -> (X, U, slack)
+    (reference: include/mpc/NLMPC/Mapping.hpp:174-211).
+
+    Note the reference divides the *whole* X matrix — including the x0 row —
+    by the state scaling; reproduced faithfully.
+    """
+    ph, ch, nx, nu = dims.ph, dims.ch, dims.nx, dims.nu
+    xs = z[: ph * nx].reshape(ph, nx)
+    X = jnp.concatenate([x0[None, :], xs], axis=0) / state_scaling[None, :]
+    ub = z[ph * nx : ph * nx + nu * ch].reshape(ch, nu) * input_scaling[None, :]
+    U = ub[block_index(ph, ch)]
+    return Unwrapped(X=X, U=U, slack=z[-1])
+
+
+def get_output(dims: NLDims, fns: NLFunctions, X, U):
+    """Output trajectory; zeros when no output model
+    (reference: include/mpc/NLMPC/Model.hpp:72-96)."""
+    if fns.output_fn is None:
+        return jnp.zeros((dims.ph + 1, dims.ny), X.dtype)
+    ks = jnp.arange(dims.ph + 1)
+    return jax.vmap(fns.output_fn)(X, U, ks)
+
+
+def objective(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+    """User cost as a scalar function of z (gradient comes from jax.grad,
+    replacing Objective.hpp:198-265's forward differences)."""
+    X, U, slack = unwrap(dims, z, x0, state_scaling, input_scaling)
+    Y = get_output(dims, fns, X, U)
+    return fns.objective_fn(X, Y, U, slack)
+
+
+def state_defects(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+    """Dynamics defect equality residuals, (ph*nx,).
+
+    Continuous models use the trapezoidal rule with the reference's exact
+    convention ``c_k = x_k + (Ts/2)(f(x_k,u_k) + f(x_{k+1},u_k)) - x_{k+1}``
+    (Constraints.hpp:533-545 — note h = Ts/2 and both evaluations share u_k);
+    discrete models use ``c_k = x_{k+1} - f(x_k, u_k)`` (Constraints.hpp:
+    592-595).  Residuals are divided by the state scaling like the reference.
+    """
+    X, U, _ = unwrap(dims, z, x0, state_scaling, input_scaling)
+    ks = jnp.arange(dims.ph)
+    xk = X[:-1]
+    xk1 = X[1:]
+    uk = U[:-1]
+    f = jax.vmap(fns.state_fn)
+    if fns.continuous:
+        h = fns.ts / 2.0
+        c = xk + h * (f(xk, uk, ks) + f(xk1, uk, ks)) - xk1
+    else:
+        c = xk1 - f(xk, uk, ks)
+    return (c / state_scaling[None, :]).reshape(-1)
+
+
+def user_ineq(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+    """User inequality values (Constraints.hpp:211-316)."""
+    X, U, slack = unwrap(dims, z, x0, state_scaling, input_scaling)
+    Y = get_output(dims, fns, X, U)
+    return fns.ineq_fn(X, Y, U, slack)
+
+
+def user_eq(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+    """User equality values (Constraints.hpp:365-442)."""
+    X, U, _ = unwrap(dims, z, x0, state_scaling, input_scaling)
+    return fns.eq_fn(X, U)
+
+
+def shift_warm_start(dims: NLDims, z):
+    """One-step receding-horizon shift of the previous solution
+    (reference: include/mpc/NLMPC/NLOptimizer.hpp:460-507): states and
+    expanded inputs move left one step with the last entry duplicated."""
+    ph, ch, nx, nu = dims.ph, dims.ch, dims.nx, dims.nu
+    xs = z[: ph * nx].reshape(ph, nx)
+    xs = xs[jnp.minimum(jnp.arange(ph) + 1, ph - 1)]
+    ub = z[ph * nx : ph * nx + nu * ch].reshape(ch, nu)
+    # expanded shift collapses back to: blocked moves roll left, last held
+    ub = ub[jnp.minimum(jnp.arange(ch) + 1, ch - 1)]
+    return jnp.concatenate([xs.reshape(-1), ub.reshape(-1), z[-1:]])
+
+
+def initial_guess(dims: NLDims, x0, u0, slack, dtype):
+    """Cold-start guess: states pinned at x0, moves at u0
+    (reference: include/mpc/NLMPC/NLOptimizer.hpp:431-451)."""
+    xs = jnp.tile(jnp.asarray(x0, dtype), (dims.ph,))
+    us = jnp.tile(jnp.asarray(u0, dtype), (dims.ch,))
+    return jnp.concatenate([xs, us, jnp.asarray([slack], dtype)])
+
+
+def fix_bounds(z, lb, ub):
+    """Clamp out-of-bounds entries to (ub-lb)/2 — reproducing the reference's
+    half-width (not midpoint) repair exactly
+    (reference: include/mpc/NLMPC/NLOptimizer.hpp:705-716)."""
+    bad = (z < lb) | (z > ub)
+    return jnp.where(bad, (ub - lb) / 2.0, z)
+
+
+def is_feasible(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling,
+                z, x0, ineq_tol, eq_tol):
+    """User-constraint feasibility verdict (defects are NOT checked, matching
+    Constraints.hpp:157-202)."""
+    ok = jnp.asarray(True)
+    if fns.ineq_fn is not None:
+        v = user_ineq(dims, fns, state_scaling, input_scaling, z, x0)
+        ok = ok & jnp.all(v <= ineq_tol)
+    if fns.eq_fn is not None:
+        v = user_eq(dims, fns, state_scaling, input_scaling, z, x0)
+        ok = ok & (jnp.max(jnp.abs(v)) <= eq_tol)
+    return ok

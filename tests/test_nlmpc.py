@@ -1,0 +1,284 @@
+"""NLMPC tests.
+
+Parity models: test/NLMPC/test_common.cpp (unwrap/mapping goldens),
+test/NLMPC/test_constraints.cpp (defect values + Jacobian goldens, user
+constraint plumbing), test/NLMPC/test_objective.cpp (objective golden 65730),
+test/NLMPC/test_nloptimizer.cpp (bound packing), examples/vanderpol_ex.cpp
+(closed-loop behavior).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libmpc_tpu import NLMPC, HorizonSlice, NLParameters, ResultStatus, inf
+from libmpc_tpu.dims import NLDims
+from libmpc_tpu.nlmpc import problem as nlp
+
+MAPPING_SWEEP = [(1, 1, 1, 1), (5, 1, 1, 1), (5, 3, 1, 1),
+                 (5, 3, 7, 1), (5, 3, 7, 4), (5, 3, 7, 7)]
+
+
+def vdp_continuous(x, u, k):
+    """Van der Pol vector field (examples/vanderpol_ex.cpp:33-40)."""
+    dx0 = (1.0 - x[1] * x[1]) * x[0] - x[1] + u[0]
+    dx1 = x[0]
+    return jnp.stack([dx0, dx1])
+
+
+@pytest.mark.parametrize("nx,nu,ph,ch", MAPPING_SWEEP)
+class TestUnwrap:
+    def test_unwrap_golden(self, nx, nu, ph, ch):
+        # (parity: test/NLMPC/test_common.cpp:46-106)
+        dims = NLDims(nx, nu, 1, ph, ch, 1, 1)
+        z = jnp.arange(dims.nz, dtype=jnp.float64)
+        x0 = -jnp.arange(1, nx + 1, dtype=jnp.float64)
+        ss = jnp.ones(nx)
+        us = jnp.ones(nu)
+        X, U, slack = nlp.unwrap(dims, z, x0, ss, us)
+        zn = np.asarray(z)
+        assert np.allclose(np.asarray(X)[0], np.asarray(x0))
+        for i in range(1, ph + 1):
+            assert np.allclose(np.asarray(X)[i], zn[(i - 1) * nx : i * nx])
+        u_index = 0
+        for i in range(ph + 1):
+            if i < ch:
+                u_index = ph * nx + i * nu
+            assert np.allclose(np.asarray(U)[i], zn[u_index : u_index + nu])
+        assert float(slack) == zn[-1]
+
+
+class TestDefects:
+    def test_vdp_trapezoidal_golden(self):
+        # (parity: test/NLMPC/test_constraints.cpp:60-142)
+        dims = NLDims(2, 1, 1, 2, 2, 0, 0)
+        fns = nlp.NLFunctions(state_fn=vdp_continuous, continuous=True, ts=0.01)
+        z = jnp.arange(dims.nz, dtype=jnp.float64)  # [0..6]
+        x0 = jnp.zeros(2)
+        ss = jnp.ones(2)
+        us = jnp.ones(1)
+        c = nlp.state_defects(dims, fns, ss, us, z, x0)
+        expected = np.array([0.035, -1.0, -2.05, -1.99])
+        assert np.allclose(np.asarray(c), expected, atol=1e-3)
+
+        J = jax.jacfwd(lambda zz: nlp.state_defects(dims, fns, ss, us, zz, x0))(z)
+        j_expected = np.array([
+            [-1, -0.005, 0, 0, 0.01, 0, 0],
+            [0.005, -1, 0, 0, 0, 0, 0],
+            [1, -0.005, -1.04, -0.065, 0, 0.01, 0],
+            [0.005, 1, 0.005, -1, 0, 0, 0],
+        ])
+        assert np.allclose(np.asarray(J), j_expected, atol=1e-3)
+
+    def test_discrete_defects_linear(self):
+        # discrete defect c_k = x_{k+1} - (A x_k + B u_k)
+        dims = NLDims(2, 1, 2, 3, 3, 0, 0)
+        A = np.array([[1.0, 0.1], [0.0, 0.9]])
+        B = np.array([[0.0], [0.1]])
+        fns = nlp.NLFunctions(
+            state_fn=lambda x, u, k: jnp.asarray(A) @ x + jnp.asarray(B) @ u,
+            continuous=False,
+        )
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(size=dims.nz))
+        x0 = jnp.asarray(rng.normal(size=2))
+        ss = jnp.ones(2)
+        us = jnp.ones(1)
+        c = np.asarray(nlp.state_defects(dims, fns, ss, us, z, x0))
+        X, U, _ = nlp.unwrap(dims, z, x0, ss, us)
+        X, U = np.asarray(X), np.asarray(U)
+        for k in range(3):
+            expected = X[k + 1] - (A @ X[k] + B @ U[k])
+            assert np.allclose(c[2 * k : 2 * k + 2], expected)
+
+    def test_state_scaling_in_defects(self):
+        # values are divided by the state scaling (Constraints.hpp:544-545)
+        dims = NLDims(2, 1, 1, 2, 2, 0, 0)
+        fns = nlp.NLFunctions(state_fn=vdp_continuous, continuous=True, ts=0.01)
+        z = jnp.arange(dims.nz, dtype=jnp.float64)
+        x0 = jnp.zeros(2)
+        scale = jnp.array([2.0, 4.0])
+        c_scaled = nlp.state_defects(dims, fns, scale, jnp.ones(1), z, x0)
+        # physical X halves/quarters; compare against manual recomputation
+        X, U, _ = nlp.unwrap(dims, z, x0, scale, jnp.ones(1))
+        h = 0.005
+        c_manual = []
+        for k in range(2):
+            fk = np.asarray(vdp_continuous(X[k], U[k], k))
+            fk1 = np.asarray(vdp_continuous(X[k + 1], U[k], k))
+            c_manual.append((np.asarray(X[k]) + h * (fk + fk1) - np.asarray(X[k + 1])) / np.asarray(scale))
+        assert np.allclose(np.asarray(c_scaled), np.concatenate(c_manual))
+
+
+class TestObjective:
+    def test_objective_golden_65730(self):
+        # (parity: test/NLMPC/test_objective.cpp:56-62)
+        dims = NLDims(5, 3, 1, 7, 7, 0, 0)
+        fns = nlp.NLFunctions(
+            state_fn=lambda x, u, k: x,
+            objective_fn=lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2),
+        )
+        z = jnp.arange(dims.nz, dtype=jnp.float64)
+        x0 = jnp.zeros(5)
+        val = nlp.objective(dims, fns, jnp.ones(5), jnp.ones(3), z, x0)
+        assert float(val) == 65730.0
+
+    def test_gradient_matches_fd(self):
+        dims = NLDims(3, 2, 1, 4, 2, 0, 0)
+        fns = nlp.NLFunctions(
+            state_fn=lambda x, u, k: x,
+            objective_fn=lambda X, Y, U, e: jnp.sum(X**4) + jnp.sum(jnp.sin(U)) + e**2,
+        )
+        rng = np.random.default_rng(1)
+        z = jnp.asarray(rng.normal(size=dims.nz))
+        x0 = jnp.asarray(rng.normal(size=3))
+        f = lambda zz: nlp.objective(dims, fns, jnp.ones(3), jnp.ones(2), zz, x0)
+        g = np.asarray(jax.grad(f)(z))
+        for i in range(dims.nz):
+            eps = 1e-6
+            zp = z.at[i].add(eps)
+            zm = z.at[i].add(-eps)
+            fd = (float(f(zp)) - float(f(zm))) / (2 * eps)
+            assert abs(g[i] - fd) < 1e-4
+
+
+class TestUserConstraints:
+    def test_ineq_value_plumbing(self):
+        # (parity: test/NLMPC/test_constraints.cpp:144-209)
+        dims = NLDims(2, 1, 1, 5, 5, 1, 0)
+        fns = nlp.NLFunctions(
+            state_fn=vdp_continuous,
+            continuous=True,
+            ineq_fn=lambda X, Y, U, e: X[0, 0][None],
+        )
+        z = jnp.arange(dims.nz, dtype=jnp.float64)
+        x0 = jnp.array([10.0, 0.0])
+        v = nlp.user_ineq(dims, fns, jnp.ones(2), jnp.ones(1), z, x0)
+        assert np.allclose(np.asarray(v), [10.0])
+
+    def test_eq_value_plumbing(self):
+        # (parity: test/NLMPC/test_constraints.cpp:211-274)
+        dims = NLDims(2, 1, 1, 5, 5, 0, 1)
+        fns = nlp.NLFunctions(
+            state_fn=vdp_continuous,
+            continuous=True,
+            eq_fn=lambda X, U: X[0, 0][None],
+        )
+        z = jnp.arange(dims.nz, dtype=jnp.float64)
+        x0 = jnp.array([10.0, 0.0])
+        v = nlp.user_eq(dims, fns, jnp.ones(2), jnp.ones(1), z, x0)
+        assert np.allclose(np.asarray(v), [10.0])
+
+    def test_zero_count_setters_refuse(self):
+        # (parity: test/NLMPC/test_constraints.cpp:25-58)
+        c = NLMPC(2, 1, 2, 3, 3, 0, 0)
+        assert not c.set_ineq_con_function(lambda X, Y, U, e: jnp.zeros(0))
+        assert not c.set_eq_con_function(lambda X, U: jnp.zeros(0))
+
+
+class TestBoundPacking:
+    # (parity: test/NLMPC/test_nloptimizer.cpp)
+    @pytest.mark.parametrize("nx,nu,ph,ch", MAPPING_SWEEP)
+    def test_default_bounds(self, nx, nu, ph, ch):
+        c = NLMPC(nx, nu, 1, ph, ch, 0, 0)
+        lb, ub = c.get_lower_bound(), c.get_upper_bound()
+        assert np.all(lb[: ph * nx + ch * nu] == -inf)
+        assert np.all(ub[: ph * nx + ch * nu] == inf)
+        # slack pinned by default hard constraints
+        assert lb[-1] == 0 and ub[-1] == 0
+
+    @pytest.mark.parametrize("nx,nu,ph,ch", MAPPING_SWEEP)
+    def test_set_bounds_offsets(self, nx, nu, ph, ch):
+        c = NLMPC(nx, nu, 1, ph, ch, 0, 0)
+        assert c.set_state_bounds(np.full(nx, -1.0), np.full(nx, 1.0), HorizonSlice.all())
+        assert c.set_input_bounds(np.full(nu, -1.0), np.full(nu, 1.0), HorizonSlice.all())
+        lb, ub = c.get_lower_bound(), c.get_upper_bound()
+        for i in range(ph):
+            assert np.all(lb[i * nx : (i + 1) * nx] == -1.0)
+            assert np.all(ub[i * nx : (i + 1) * nx] == 1.0)
+        for i in range(ch):
+            o = ph * nx + i * nu
+            assert np.all(lb[o : o + nu] == -1.0)
+            assert np.all(ub[o : o + nu] == 1.0)
+
+    def test_output_bounds_throw(self):
+        # (parity: test/NLMPC/test_nlmpc.cpp REQUIRE_THROWS on output bounds)
+        c = NLMPC(2, 1, 2, 3, 3, 0, 0)
+        with pytest.raises(RuntimeError):
+            c.set_output_bounds(np.full(2, -1.0), np.full(2, 1.0))
+
+
+def make_vdp_controller(max_iter=100):
+    """Van der Pol NLMPC (examples/vanderpol_ex.cpp:9-65)."""
+    ph, ch = 10, 5
+    c = NLMPC(nx=2, nu=1, ny=2, ph=ph, ch=ch, ineq=ph + 1, eq=0)
+    c.set_discretization_sampling_time(0.1)
+    c.set_optimizer_parameters(NLParameters(maximum_iteration=max_iter))
+    c.set_state_space_function(vdp_continuous)
+    c.set_objective_function(
+        lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2)
+    )
+    c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+    return c
+
+
+class TestVanDerPolClosedLoop:
+    def test_regulates_to_origin(self):
+        # (parity: examples/vanderpol_ex.cpp:67-85 termination criterion)
+        c = make_vdp_controller()
+        ts = 0.1
+        x = np.array([0.0, 1.0])
+        cmd = np.zeros(1)
+        for step in range(200):
+            res = c.optimize(x, cmd)
+            cmd = np.asarray(res.cmd)
+            # input constraint respected at the applied command
+            assert cmd[0] <= 0.5 + 1e-6, (step, cmd)
+            dx = np.asarray(vdp_continuous(jnp.asarray(x), jnp.asarray(cmd), 0))
+            x = x + dx * ts
+            if abs(x[0]) <= 1e-2 and abs(x[1]) <= 1e-1:
+                break
+        else:
+            pytest.fail(f"did not converge, final state {x}")
+        assert step < 150
+
+    def test_first_solve_feasible_and_successful(self):
+        c = make_vdp_controller()
+        res = c.optimize(np.array([0.0, 1.0]), np.zeros(1))
+        assert int(res.status) in (int(ResultStatus.SUCCESS), int(ResultStatus.MAX_ITERATION))
+        assert bool(res.is_feasible)
+        seq = c.get_optimal_sequence()
+        # defects satisfied along the horizon: trapezoidal residual small
+        X = np.asarray(seq.state)
+        U = np.asarray(seq.input)
+        for k in range(10):
+            fk = np.asarray(vdp_continuous(jnp.asarray(X[k]), jnp.asarray(U[k]), k))
+            fk1 = np.asarray(vdp_continuous(jnp.asarray(X[k + 1]), jnp.asarray(U[k]), k))
+            resid = X[k] + 0.05 * (fk + fk1) - X[k + 1]
+            assert np.abs(resid).max() < 1e-5, (k, resid)
+
+    def test_batched_matches_single(self):
+        c = make_vdp_controller()
+        x0s = np.array([[0.0, 1.0], [0.5, -0.5], [-0.3, 0.2]])
+        u0s = np.zeros((3, 1))
+        res = c.optimize(x0s, u0s)
+        assert res.cmd.shape == (3, 1)
+        for i in range(3):
+            ci = make_vdp_controller()
+            ri = ci.optimize(x0s[i], u0s[i])
+            assert np.allclose(np.asarray(res.cmd[i]), np.asarray(ri.cmd), atol=1e-6)
+
+
+class TestWarmStartShift:
+    def test_shift_semantics(self):
+        # states shift left one step (last held); blocked moves likewise
+        # (reference: include/mpc/NLMPC/NLOptimizer.hpp:460-507)
+        dims = NLDims(2, 1, 1, 3, 2, 0, 0)
+        z = jnp.arange(dims.nz, dtype=jnp.float64)  # states [0..5], u [6,7], slack 8
+        out = np.asarray(nlp.shift_warm_start(dims, z))
+        assert np.allclose(out[:6], [2, 3, 4, 5, 4, 5])
+        assert np.allclose(out[6:8], [7, 7])
+        assert out[8] == 8
