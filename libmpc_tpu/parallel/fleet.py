@@ -1,0 +1,247 @@
+"""Scenario-parallel fleet solvers.
+
+The headline TPU capability (BASELINE.json): one controller configuration,
+thousands of problem instances (initial states, references, disturbances)
+solved in lockstep, sharded over a device mesh.  Each device solves its slice
+of the fleet entirely on-chip — the only collectives are ``psum``/``pmax``
+over the ``data`` axis to aggregate fleet-level statistics (the distributed
+analog of the reference's per-controller ``SolutionStats``,
+include/mpc/Profiler.hpp:88-120).
+
+Multi-host: the same ``shard_map`` program runs unchanged on a pod slice
+after ``mesh.init_distributed()``; batch shards ride ICI, stats reductions
+cross DCN only at the end of each step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..dims import LDims
+from ..lmpc import controller as lmpc_controller
+from ..lmpc import problem as qp
+from ..types import LParameters, OptSequence, Result, ResultStatus
+from . import mesh as mesh_lib
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FleetStats:
+    """Fleet-level solve statistics, aggregated across the whole mesh."""
+
+    n_total: jax.Array
+    n_success: jax.Array
+    n_max_iteration: jax.Array
+    n_infeasible: jax.Array
+    n_error: jax.Array
+    mean_iterations: jax.Array
+    max_iterations: jax.Array
+
+    def __str__(self):
+        pct = lambda n: 100.0 * float(n) / max(1, int(self.n_total))
+        return (
+            "Fleet stats:\n"
+            f"  - instances: {int(self.n_total)}\n"
+            f"  - SUCCESS: {pct(self.n_success):.2f}%\n"
+            f"  - MAX_ITERATION: {pct(self.n_max_iteration):.2f}%\n"
+            f"  - INFEASIBLE: {pct(self.n_infeasible):.2f}%\n"
+            f"  - ERROR: {pct(self.n_error):.2f}%\n"
+            f"  - iterations: mean {float(self.mean_iterations):.1f}, "
+            f"max {int(self.max_iterations)}\n"
+        )
+
+
+def _local_stats(status, iters, axis: str) -> FleetStats:
+    count = lambda s: jnp.sum(status == int(s)).astype(jnp.float32)
+    n = jnp.asarray(status.shape[0], jnp.float32)
+    stats = FleetStats(
+        n_total=n,
+        n_success=count(ResultStatus.SUCCESS),
+        n_max_iteration=count(ResultStatus.MAX_ITERATION),
+        n_infeasible=count(ResultStatus.INFEASIBLE),
+        n_error=count(ResultStatus.ERROR),
+        mean_iterations=jnp.sum(iters.astype(jnp.float32)),
+        max_iterations=jnp.max(iters),
+    )
+    # fleet-level reductions over ICI
+    summed = jax.tree.map(
+        lambda a: jax.lax.psum(a, axis),
+        dataclasses.replace(stats, max_iterations=jnp.asarray(0, jnp.int32)),
+    )
+    return dataclasses.replace(
+        summed,
+        mean_iterations=summed.mean_iterations / jnp.maximum(summed.n_total, 1.0),
+        max_iterations=jax.lax.pmax(stats.max_iterations, axis),
+    )
+
+
+class LMPCFleet:
+    """Mesh-sharded batched linear MPC.
+
+    Wraps a configured :class:`~libmpc_tpu.lmpc.controller.LMPC` and solves a
+    whole fleet per call::
+
+        fleet = LMPCFleet(controller, mesh)          # mesh from make_mesh()
+        result, stats = fleet.optimize(x0_batch, u_batch)
+
+    Per-instance references/disturbances may be supplied as batched arrays;
+    unbatched controller settings are replicated.  The batch size must divide
+    evenly over the mesh's data axis.
+    """
+
+    def __init__(self, controller, mesh: Mesh):
+        self.controller = controller
+        self.mesh = mesh
+        self.dims: LDims = controller.dims
+        self._warm_x = None
+        self._warm_y = None
+        self._step_fn = None
+
+    def _build(self, batched_refs: bool):
+        dims = self.dims
+        params = self.controller._params
+        axis = mesh_lib.DATA_AXIS
+        ref_spec = P(axis) if batched_refs else P()
+
+        def step(prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
+                 warm_x, warm_y, have_warm, prev_cmd):
+            result, seq, sol_x, sol_y, iters = lmpc_controller.solve_body(
+                dims, params, prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
+                warm_x, warm_y, have_warm, prev_cmd,
+            )
+            stats = _local_stats(result.status, iters, axis)
+            return result, seq, sol_x, sol_y, stats
+
+        sharded = jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(
+                P(),  # problem data replicated
+                P(axis), P(axis),  # x0, u0
+                ref_spec, ref_spec, ref_spec, ref_spec,  # references
+                P(axis), P(axis), P(), P(axis),  # warm state, flag, prev cmd
+            ),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def optimize(self, x0, last_u, y_ref=None, u_ref=None, du_ref=None,
+                 u_meas=None):
+        """Solve the fleet step; returns ``(Result, FleetStats)`` with all
+        result leaves batched over the fleet."""
+        c = self.controller
+        x0 = jnp.asarray(x0, c.dtype)
+        last_u = jnp.asarray(last_u, c.dtype)
+        B = x0.shape[0]
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        if B % n_data:
+            raise ValueError(f"batch {B} must divide over data axis {n_data}")
+
+        batched_refs = y_ref is not None
+        if batched_refs:
+            y_ref = jnp.asarray(y_ref, c.dtype)
+            u_ref = jnp.asarray(u_ref, c.dtype) if u_ref is not None else jnp.zeros(
+                (B, self.dims.ph, self.dims.nu), c.dtype)
+            du_ref = jnp.asarray(du_ref, c.dtype) if du_ref is not None else jnp.zeros(
+                (B, self.dims.ph, self.dims.nu), c.dtype)
+            u_meas = jnp.asarray(u_meas, c.dtype) if u_meas is not None else jnp.zeros(
+                (B, self.dims.ph, self.dims.ndu), c.dtype)
+        else:
+            y_ref, u_ref, du_ref, u_meas = c._y_ref, c._u_ref, c._du_ref, c._u_meas
+
+        if self._step_fn is None or self._batched_refs != batched_refs:
+            self._step_fn = self._build(batched_refs)
+            self._batched_refs = batched_refs
+
+        have_warm = (
+            c._params.enable_warm_start
+            and self._warm_x is not None
+            and self._warm_x.shape[0] == B
+        )
+        warm_x = self._warm_x if have_warm else jnp.zeros((B, self.dims.nz), c.dtype)
+        warm_y = self._warm_y if have_warm else jnp.zeros((B, self.dims.m), c.dtype)
+        prev_cmd = jnp.zeros((B, self.dims.nu), c.dtype)
+
+        result, seq, sol_x, sol_y, stats = self._step_fn(
+            c._prob, x0, last_u, y_ref, u_ref, du_ref, u_meas,
+            warm_x, warm_y, jnp.asarray(have_warm), prev_cmd,
+        )
+        self._warm_x, self._warm_y = sol_x, sol_y
+        return result, stats
+
+
+class NLMPCFleet:
+    """Mesh-sharded batched nonlinear MPC.
+
+    Same pattern as :class:`LMPCFleet`: the controller's SQP solve is vmapped
+    over the local shard and shard_mapped over the data axis.
+    """
+
+    def __init__(self, controller, mesh: Mesh):
+        self.controller = controller
+        self.mesh = mesh
+        self._opt_vector = None
+        self._slack = None
+        self._step_fn = None
+
+    def _build(self):
+        c = self.controller
+        dims = c.dims
+        axis = mesh_lib.DATA_AXIS
+        solve_one = c._make_solve_one()
+
+        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd):
+            sol, X, U, Y, slack, feas = jax.vmap(
+                solve_one, in_axes=(0, None, 0, 0, 0)
+            )(z_prev, use_prev, x0, u0, slack0)
+            result, seq = c._pack_result(sol, X, U, Y, feas, prev_cmd)
+            stats = _local_stats(result.status, sol.iters, axis)
+            return result, seq, sol.z, slack, stats
+
+        sharded = jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def optimize(self, x0, last_u):
+        c = self.controller
+        x0 = jnp.asarray(x0, c.dtype)
+        last_u = jnp.asarray(last_u, c.dtype)
+        B = x0.shape[0]
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        if B % n_data:
+            raise ValueError(f"batch {B} must divide over data axis {n_data}")
+        if self._step_fn is None:
+            self._step_fn = self._build()
+
+        use_prev = (
+            c._params.enable_warm_start
+            and self._opt_vector is not None
+            and self._opt_vector.shape[0] == B
+        )
+        z_prev = (
+            self._opt_vector if use_prev else jnp.zeros((B, c.dims.nz), c.dtype)
+        )
+        slack0 = (
+            self._slack if (use_prev and self._slack is not None)
+            else jnp.zeros((B,), c.dtype)
+        )
+        prev_cmd = jnp.zeros((B, c.dims.nu), c.dtype)
+
+        result, seq, z_out, slack, stats = self._step_fn(
+            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd
+        )
+        self._opt_vector, self._slack = z_out, slack
+        return result, stats

@@ -1,0 +1,124 @@
+"""Mesh / fleet-parallel tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed runtime (SURVEY §2.3); these tests cover the
+new TPU-native scaling layer: sharded fleet solves must agree exactly with
+unsharded batched solves, and fleet stats must aggregate across the mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libmpc_tpu import LMPC, NLMPC, HorizonSlice, LParameters, NLParameters
+from libmpc_tpu.parallel import mesh as mesh_lib
+from libmpc_tpu.parallel.fleet import LMPCFleet, NLMPCFleet
+
+from test_lmpc import make_quadrotor_controller
+from test_nlmpc import make_vdp_controller, vdp_continuous
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
+    return mesh_lib.make_mesh(data=8)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return mesh_lib.make_mesh(data=4, model=2)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self, mesh8, mesh4x2):
+        assert mesh8.shape == {"data": 8, "model": 1}
+        assert mesh4x2.shape == {"data": 4, "model": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            mesh_lib.make_mesh(data=16, model=2)
+
+    def test_shard_batch_places_arrays(self, mesh8):
+        x = np.zeros((16, 3))
+        sharded = mesh_lib.shard_batch(mesh8, {"x": x})
+        assert sharded["x"].sharding.is_equivalent_to(
+            mesh_lib.batch_sharding(mesh8), 2
+        )
+
+
+class TestLMPCFleet:
+    def test_sharded_matches_unsharded(self, mesh8):
+        c = make_quadrotor_controller()
+        fleet = LMPCFleet(c, mesh8)
+        rng = np.random.default_rng(0)
+        B = 16
+        x0s = 0.05 * rng.normal(size=(B, 12))
+        u0s = np.zeros((B, 4))
+        res_fleet, stats = fleet.optimize(x0s, u0s)
+        res_plain = c.optimize(x0s, u0s)
+        assert np.allclose(
+            np.asarray(res_fleet.cmd), np.asarray(res_plain.cmd), atol=1e-8
+        )
+        assert int(stats.n_total) == B
+        assert int(stats.n_success) == B
+
+    def test_batched_references(self, mesh8):
+        c = make_quadrotor_controller()
+        fleet = LMPCFleet(c, mesh8)
+        B = 8
+        x0s = np.zeros((B, 12))
+        u0s = np.zeros((B, 4))
+        # per-instance altitude references
+        y_ref = np.zeros((B, 10, 12))
+        y_ref[:, :, 2] = np.linspace(0.5, 1.5, B)[:, None]
+        res, stats = fleet.optimize(x0s, u0s, y_ref=y_ref)
+        # higher altitude reference -> more positive initial climb command
+        thrust = np.asarray(res.cmd).sum(axis=1)
+        assert np.all(np.diff(thrust) > 0)
+        assert int(stats.n_success) == B
+
+    def test_fleet_closed_loop(self, mesh8):
+        from test_lmpc import quadrotor_model
+
+        c = make_quadrotor_controller()
+        fleet = LMPCFleet(c, mesh8)
+        Ad, Bd, _ = quadrotor_model()
+        rng = np.random.default_rng(1)
+        B = 8
+        x = 0.02 * rng.normal(size=(B, 12))
+        u = np.zeros((B, 4))
+        for _ in range(40):
+            res, _ = fleet.optimize(x, u)
+            u = np.asarray(res.cmd)
+            x = x @ Ad.T + u @ Bd.T
+        assert np.all(np.abs(x[:, 2] - 1.0) < 5e-2)
+
+    def test_uneven_batch_raises(self, mesh8):
+        c = make_quadrotor_controller()
+        fleet = LMPCFleet(c, mesh8)
+        with pytest.raises(ValueError):
+            fleet.optimize(np.zeros((3, 12)), np.zeros((3, 4)))
+
+
+class TestNLMPCFleet:
+    def test_sharded_matches_unsharded(self, mesh8):
+        c = make_vdp_controller()
+        fleet = NLMPCFleet(c, mesh8)
+        rng = np.random.default_rng(2)
+        B = 8
+        x0s = rng.uniform(-1, 1, size=(B, 2))
+        u0s = np.zeros((B, 1))
+        res_fleet, stats = fleet.optimize(x0s, u0s)
+        res_plain = c.optimize(x0s, u0s)
+        assert np.allclose(
+            np.asarray(res_fleet.cmd), np.asarray(res_plain.cmd), atol=1e-8
+        )
+        assert int(stats.n_total) == B
+        assert float(stats.mean_iterations) > 0
+
+    def test_stats_str(self, mesh8):
+        c = make_vdp_controller()
+        fleet = NLMPCFleet(c, mesh8)
+        _, stats = fleet.optimize(np.zeros((8, 2)), np.zeros((8, 1)))
+        text = str(stats)
+        assert "SUCCESS" in text and "instances: 8" in text
