@@ -101,6 +101,7 @@ class NLMPC:
             input=jnp.zeros((ph + 1, nu), self.dtype),
         )
         self._profiler = Profiler()
+        self._runtime_params = ()  # traced per-solve parameter pytree
         self._solve_fn = None  # compiled closure, invalidated by setters
 
     # ------------------------------------------------------------------
@@ -136,6 +137,12 @@ class NLMPC:
             self._lb[-1] = 0.0
             self._ub[-1] = np.inf
 
+    def set_runtime_params(self, params) -> None:
+        """Set the runtime-parameter pytree passed (traced) to callbacks that
+        declare a trailing ``p`` argument.  Changing the *values* costs no
+        recompilation; changing the tree structure re-jits once."""
+        self._runtime_params = params
+
     def set_input_scale(self, scaling) -> None:
         """(reference: include/mpc/NLMPC.hpp:108-115)."""
         self._input_scaling = jnp.asarray(scaling, self.dtype).reshape(self.dims.nu)
@@ -148,20 +155,26 @@ class NLMPC:
 
     def set_objective_function(self, handle: Callable) -> bool:
         """(reference: include/mpc/NLMPC.hpp:139-153)."""
-        self._fns = dataclasses.replace(self._fns, objective_fn=handle)
+        self._fns = dataclasses.replace(
+            self._fns, objective_fn=nlp.canonicalize(handle, 4)
+        )
         self._invalidate()
         return True
 
     def set_state_space_function(self, handle: Callable, eq_tol: float = 1e-10) -> bool:
         """(reference: include/mpc/NLMPC.hpp:165-193)."""
-        self._fns = dataclasses.replace(self._fns, state_fn=handle)
+        self._fns = dataclasses.replace(
+            self._fns, state_fn=nlp.canonicalize(handle, 3)
+        )
         self._defect_tol = eq_tol
         self._invalidate()
         return True
 
     def set_output_function(self, handle: Callable) -> bool:
         """(reference: include/mpc/NLMPC.hpp:202-215)."""
-        self._fns = dataclasses.replace(self._fns, output_fn=handle)
+        self._fns = dataclasses.replace(
+            self._fns, output_fn=nlp.canonicalize(handle, 3)
+        )
         self._invalidate()
         return True
 
@@ -174,7 +187,9 @@ class NLMPC:
                 "define a custom callback for the inequality constraints"
             )
             return False
-        self._fns = dataclasses.replace(self._fns, ineq_fn=handle)
+        self._fns = dataclasses.replace(
+            self._fns, ineq_fn=nlp.canonicalize(handle, 4)
+        )
         self._ineq_tol = tol
         self._invalidate()
         return True
@@ -188,7 +203,9 @@ class NLMPC:
                 "define a custom callback for the equality constraints"
             )
             return False
-        self._fns = dataclasses.replace(self._fns, eq_fn=handle)
+        self._fns = dataclasses.replace(
+            self._fns, eq_fn=nlp.canonicalize(handle, 2)
+        )
         self._eq_tol = tol
         self._invalidate()
         return True
@@ -264,20 +281,20 @@ class NLMPC:
                 "function before optimize()"
             )
 
-        def solve_one(z_prev, use_prev, x0, u0, slack0):
+        def solve_one(z_prev, use_prev, x0, u0, slack0, p):
             guess = nlp.initial_guess(dims, x0, u0, slack0, self.dtype)
             z = jnp.where(use_prev, z_prev, guess)
             z = nlp.fix_bounds(z, lb, ub)
             z = nlp.shift_warm_start(dims, z)
             z = z.at[-1].set(slack0)
 
-            f_fn = lambda zz: nlp.objective(dims, fns, ss, us, zz, x0)
-            ceq_parts = [lambda zz: nlp.state_defects(dims, fns, ss, us, zz, x0)]
+            f_fn = lambda zz: nlp.objective(dims, fns, ss, us, zz, x0, p)
+            ceq_parts = [lambda zz: nlp.state_defects(dims, fns, ss, us, zz, x0, p)]
             if fns.eq_fn is not None:
-                ceq_parts.append(lambda zz: nlp.user_eq(dims, fns, ss, us, zz, x0))
-            ceq_fn = lambda zz: jnp.concatenate([p(zz) for p in ceq_parts])
+                ceq_parts.append(lambda zz: nlp.user_eq(dims, fns, ss, us, zz, x0, p))
+            ceq_fn = lambda zz: jnp.concatenate([part(zz) for part in ceq_parts])
             cin_fn = (
-                (lambda zz: nlp.user_ineq(dims, fns, ss, us, zz, x0))
+                (lambda zz: nlp.user_ineq(dims, fns, ss, us, zz, x0, p))
                 if fns.ineq_fn is not None
                 else None
             )
@@ -285,8 +302,8 @@ class NLMPC:
             sol = sqp.sqp_solve(f_fn, ceq_fn, cin_fn, z, lb, ub, params)
 
             X, U, slack = nlp.unwrap(dims, sol.z, x0, ss, us)
-            Y = nlp.get_output(dims, fns, X, U)
-            feas = nlp.is_feasible(dims, fns, ss, us, sol.z, x0, ineq_tol, eq_tol)
+            Y = nlp.get_output(dims, fns, X, U, p)
+            feas = nlp.is_feasible(dims, fns, ss, us, sol.z, x0, ineq_tol, eq_tol, p)
             return sol, X, U, Y, slack, feas
 
         return solve_one
@@ -323,10 +340,14 @@ class NLMPC:
         solve_one = self._make_solve_one()
 
         @jax.jit
-        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd):
+        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p):
             batched = x0.ndim == 2
-            fn = jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0)) if batched else solve_one
-            sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0)
+            fn = (
+                jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, None))
+                if batched
+                else solve_one
+            )
+            sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0, p)
             result, seq = self._pack_result(sol, X, U, Y, feas, prev_cmd)
             return result, seq, sol.z, slack, sol.iters
 
@@ -366,7 +387,8 @@ class NLMPC:
 
         self._profiler.solution_start()
         result, seq, z_out, slack, iters = self._solve_fn(
-            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd
+            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
+            self._runtime_params,
         )
         jax.block_until_ready(result.cmd)
         self._opt_vector = z_out

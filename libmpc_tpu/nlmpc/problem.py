@@ -45,6 +45,14 @@ class NLFunctions:
     * ``objective_fn(X, Y, U, slack) -> scalar``
     * ``ineq_fn(X, Y, U, slack) -> (ineq,)``  (feasible iff <= 0)
     * ``eq_fn(X, U) -> (eq,)``  (feasible iff == 0)
+
+    Every callable may optionally take one extra trailing argument ``p`` —
+    a *runtime-parameter* pytree supplied per solve via
+    ``NLMPC.set_runtime_params`` (e.g. moving obstacle positions, varying
+    references).  The reference achieves the same by C++ lambdas capturing
+    mutable state by reference; under jit that would force a re-trace per
+    change, so runtime data flows through this traced channel instead.
+    Stored callables here are already canonicalized to the p-taking form.
     """
 
     state_fn: Optional[Callable] = None
@@ -54,6 +62,30 @@ class NLFunctions:
     eq_fn: Optional[Callable] = None
     continuous: bool = False
     ts: float = 0.0
+
+    def __post_init__(self):
+        # accept both plain and p-taking user callbacks at construction
+        for name, arity in (("state_fn", 3), ("output_fn", 3),
+                            ("objective_fn", 4), ("ineq_fn", 4), ("eq_fn", 2)):
+            object.__setattr__(self, name, canonicalize(getattr(self, name), arity))
+
+
+def canonicalize(handle: Optional[Callable], base_arity: int) -> Optional[Callable]:
+    """Wrap a user callback so it always accepts the trailing runtime-param
+    pytree (ignored when the user's signature doesn't declare it)."""
+    if handle is None:
+        return None
+    import inspect
+
+    try:
+        sig_params = inspect.signature(handle).parameters.values()
+    except (TypeError, ValueError):
+        return handle
+    if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in sig_params):
+        return handle  # *args-style callables receive everything
+    if len(sig_params) >= base_arity + 1:
+        return handle
+    return lambda *args: handle(*args[:base_arity])
 
 
 class Unwrapped(NamedTuple):
@@ -84,24 +116,24 @@ def unwrap(dims: NLDims, z, x0, state_scaling, input_scaling) -> Unwrapped:
     return Unwrapped(X=X, U=U, slack=z[-1])
 
 
-def get_output(dims: NLDims, fns: NLFunctions, X, U):
+def get_output(dims: NLDims, fns: NLFunctions, X, U, p=None):
     """Output trajectory; zeros when no output model
     (reference: include/mpc/NLMPC/Model.hpp:72-96)."""
     if fns.output_fn is None:
         return jnp.zeros((dims.ph + 1, dims.ny), X.dtype)
     ks = jnp.arange(dims.ph + 1)
-    return jax.vmap(fns.output_fn)(X, U, ks)
+    return jax.vmap(fns.output_fn, in_axes=(0, 0, 0, None))(X, U, ks, p)
 
 
-def objective(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+def objective(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0, p=None):
     """User cost as a scalar function of z (gradient comes from jax.grad,
     replacing Objective.hpp:198-265's forward differences)."""
     X, U, slack = unwrap(dims, z, x0, state_scaling, input_scaling)
-    Y = get_output(dims, fns, X, U)
-    return fns.objective_fn(X, Y, U, slack)
+    Y = get_output(dims, fns, X, U, p)
+    return fns.objective_fn(X, Y, U, slack, p)
 
 
-def state_defects(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+def state_defects(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0, p=None):
     """Dynamics defect equality residuals, (ph*nx,).
 
     Continuous models use the trapezoidal rule with the reference's exact
@@ -115,26 +147,26 @@ def state_defects(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, 
     xk = X[:-1]
     xk1 = X[1:]
     uk = U[:-1]
-    f = jax.vmap(fns.state_fn)
+    f = jax.vmap(fns.state_fn, in_axes=(0, 0, 0, None))
     if fns.continuous:
         h = fns.ts / 2.0
-        c = xk + h * (f(xk, uk, ks) + f(xk1, uk, ks)) - xk1
+        c = xk + h * (f(xk, uk, ks, p) + f(xk1, uk, ks, p)) - xk1
     else:
-        c = xk1 - f(xk, uk, ks)
+        c = xk1 - f(xk, uk, ks, p)
     return (c / state_scaling[None, :]).reshape(-1)
 
 
-def user_ineq(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+def user_ineq(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0, p=None):
     """User inequality values (Constraints.hpp:211-316)."""
     X, U, slack = unwrap(dims, z, x0, state_scaling, input_scaling)
-    Y = get_output(dims, fns, X, U)
-    return fns.ineq_fn(X, Y, U, slack)
+    Y = get_output(dims, fns, X, U, p)
+    return fns.ineq_fn(X, Y, U, slack, p)
 
 
-def user_eq(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0):
+def user_eq(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling, z, x0, p=None):
     """User equality values (Constraints.hpp:365-442)."""
     X, U, _ = unwrap(dims, z, x0, state_scaling, input_scaling)
-    return fns.eq_fn(X, U)
+    return fns.eq_fn(X, U, p)
 
 
 def shift_warm_start(dims: NLDims, z):
@@ -167,14 +199,14 @@ def fix_bounds(z, lb, ub):
 
 
 def is_feasible(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling,
-                z, x0, ineq_tol, eq_tol):
+                z, x0, ineq_tol, eq_tol, p=None):
     """User-constraint feasibility verdict (defects are NOT checked, matching
     Constraints.hpp:157-202)."""
     ok = jnp.asarray(True)
     if fns.ineq_fn is not None:
-        v = user_ineq(dims, fns, state_scaling, input_scaling, z, x0)
+        v = user_ineq(dims, fns, state_scaling, input_scaling, z, x0, p)
         ok = ok & jnp.all(v <= ineq_tol)
     if fns.eq_fn is not None:
-        v = user_eq(dims, fns, state_scaling, input_scaling, z, x0)
+        v = user_eq(dims, fns, state_scaling, input_scaling, z, x0, p)
         ok = ok & (jnp.max(jnp.abs(v)) <= eq_tol)
     return ok

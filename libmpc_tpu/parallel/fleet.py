@@ -198,10 +198,10 @@ class NLMPCFleet:
         axis = mesh_lib.DATA_AXIS
         solve_one = c._make_solve_one()
 
-        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd):
+        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd, p):
             sol, X, U, Y, slack, feas = jax.vmap(
-                solve_one, in_axes=(0, None, 0, 0, 0)
-            )(z_prev, use_prev, x0, u0, slack0)
+                solve_one, in_axes=(0, None, 0, 0, 0, None)
+            )(z_prev, use_prev, x0, u0, slack0, p)
             result, seq = c._pack_result(sol, X, U, Y, feas, prev_cmd)
             stats = _local_stats(result.status, sol.iters, axis)
             return result, seq, sol.z, slack, stats
@@ -209,7 +209,7 @@ class NLMPCFleet:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), P()),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             check_vma=False,
         )
@@ -241,7 +241,8 @@ class NLMPCFleet:
         prev_cmd = jnp.zeros((B, c.dims.nu), c.dtype)
 
         result, seq, z_out, slack, stats = self._step_fn(
-            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd
+            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
+            c._runtime_params,
         )
         self._opt_vector, self._slack = z_out, slack
         return result, stats
