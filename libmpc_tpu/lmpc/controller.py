@@ -564,6 +564,18 @@ class LMPC:
     def reset_stats(self) -> None:
         self._profiler.reset()
 
+    # -- checkpoint / resume ---------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Snapshot warm-start state + last command to ``path`` (.npz)."""
+        from ..utils import checkpoint
+
+        checkpoint.save_lmpc(self, path)
+
+    def load_state(self, path: str) -> None:
+        from ..utils import checkpoint
+
+        checkpoint.load_lmpc(self, path)
+
     # ------------------------------------------------------------------
     # slice validation (reference: include/mpc/IMPC.hpp:244-283)
     # ------------------------------------------------------------------

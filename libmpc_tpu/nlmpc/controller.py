@@ -411,6 +411,18 @@ class NLMPC:
     def reset_stats(self) -> None:
         self._profiler.reset()
 
+    # -- checkpoint / resume ---------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Snapshot warm-start state + last command to ``path`` (.npz)."""
+        from ..utils import checkpoint
+
+        checkpoint.save_nlmpc(self, path)
+
+    def load_state(self, path: str) -> None:
+        from ..utils import checkpoint
+
+        checkpoint.load_nlmpc(self, path)
+
     # -- slice validation (reference: include/mpc/IMPC.hpp:244-283) -------
     def is_slice_unset(self, slice: HorizonSlice) -> bool:
         return slice.is_unset
