@@ -138,6 +138,14 @@ def _build_kkt_inverse(P, A, rho_vec, sigma):
     return M, Minv
 
 
+def _pallas_supported(B: int, n: int, m: int, dtype) -> bool:
+    try:
+        from . import admm_pallas
+    except ImportError:  # pallas unavailable in this environment
+        return False
+    return admm_pallas.supported(B, n, m, dtype)
+
+
 class _LoopState(NamedTuple):
     x: jax.Array
     z: jax.Array
@@ -354,11 +362,38 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
 
     n_blocks = max(1, (n_iters + check_every - 1) // check_every)
 
-    def block(state: _LoopState):
-        state = jax.lax.fori_loop(
-            0, check_every, lambda _, s: one_iteration(s), state
-        )
-        return termination_check(state)
+    # TPU float32 fast path: run the whole iteration block inside one
+    # VMEM-resident Pallas kernel (batch tile stays on-chip for all
+    # check_every iterations — ~K x less HBM traffic than the XLA loop)
+    use_pallas = (
+        params.use_pallas
+        and jax.default_backend() == "tpu"
+        and _pallas_supported(B, n, m, dtype)
+    )
+
+    if use_pallas:
+        from . import admm_pallas
+
+        def block(state: _LoopState):
+            x, z, y = admm_pallas.fused_iterations(
+                state.x, state.z, state.y, state.done, qs, ls, us,
+                A, state.M, state.Minv, rho_vec_of(state.rho),
+                sigma=sigma_v, alpha=params.alpha, k_iters=check_every,
+                refine=f32,
+            )
+            state = state._replace(
+                x=x, z=z, y=y,
+                iters=state.iters + jnp.where(state.done, 0, check_every),
+            )
+            return termination_check(state)
+
+    else:
+
+        def block(state: _LoopState):
+            state = jax.lax.fori_loop(
+                0, check_every, lambda _, s: one_iteration(s), state
+            )
+            return termination_check(state)
 
     def cond(state_k):
         state, k = state_k

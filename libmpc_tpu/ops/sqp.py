@@ -70,6 +70,7 @@ def _qp_params() -> LParameters:
         check_termination=25,
         scaling_iters=0,  # subproblems are small and well-scaled
         rho=0.1,
+        use_pallas=False,  # inner QPs are vmapped and tiny
     )
 
 

@@ -108,6 +108,10 @@ class LParameters(Parameters):
     polish_refine_iter: int = 3
     sigma: float = 1e-6
     scaling_iters: int = 10
+    # fuse iteration blocks into a VMEM-resident Pallas kernel on TPU
+    # (float32, batch divisible by a power-of-two tile); automatic fallback
+    # to the XLA loop otherwise
+    use_pallas: bool = True
 
     def __post_init__(self):
         if self.maximum_iteration == 100:
