@@ -45,7 +45,7 @@ NLOPT_MAXTIME_REACHED = 6
 
 _LS_STEPS = 12  # step ladder 2^0 .. 2^-11 (+1 SOC candidate)
 _INTERNAL_ACC = 1e-7  # optimality tolerance when no user tol is set
-_MAX_LS_FAILS = 3
+_MAX_LS_FAILS = 4
 _ARMIJO_C1 = 1e-4
 
 
@@ -60,7 +60,7 @@ class SQPSolution(NamedTuple):
 def _qp_params() -> LParameters:
     """Inner-QP settings: tight tolerances, polish for exact active sets."""
     return LParameters(
-        maximum_iteration=500,
+        maximum_iteration=1000,
         eps_abs=1e-9,
         eps_rel=1e-9,
         eps_prim_inf=1e-6,
@@ -68,7 +68,7 @@ def _qp_params() -> LParameters:
         polish=True,
         adaptive_rho=True,
         check_termination=25,
-        scaling_iters=0,  # subproblems are small and well-scaled
+        scaling_iters=10,  # subproblem Hessians can be badly scaled
         rho=0.1,
         use_pallas=False,  # inner QPs are vmapped and tiny
     )
@@ -175,7 +175,10 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         H = hess_L(s.z, s.lam_e, s.lam_i)
         H = 0.5 * (H + H.T)
         w, V = jnp.linalg.eigh(H)
-        tau = jnp.maximum(1e-8, 1e-8 * jnp.max(jnp.abs(w)))
+        # clip eigenvalues to a 1e-6-relative floor: keeps the QP subproblem
+        # conditioned well enough for the ADMM inner solver while barely
+        # biasing the Newton direction
+        tau = jnp.maximum(1e-8, 1e-6 * jnp.max(jnp.abs(w)))
         B = (V * jnp.maximum(w, tau)[None, :]) @ V.T
 
         # -- QP subproblem:  min 1/2 d'Bd + g'd
@@ -190,9 +193,21 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         lam_e = sol.y[:me]
         lam_i = sol.y[me : me + mi]
 
-        # -- penalty update (SLSQP rule: mu = max(|lam|, (mu+|lam|)/2)) ------
-        mu_e = jnp.maximum(jnp.abs(lam_e), 0.5 * (s.mu_e + jnp.abs(lam_e)))
-        mu_i = jnp.maximum(jnp.abs(lam_i), 0.5 * (s.mu_i + jnp.abs(lam_i)))
+        # -- penalty update (SLSQP rule: mu = max(|lam|, (mu+|lam|)/2));
+        # after a stalled line search, drop the accumulated history and
+        # restart from the current multipliers (stale-large penalties are a
+        # classic cause of persistent step rejection near active sets) ------
+        stalled = s.ls_fails > 0
+        mu_e = jnp.where(
+            stalled,
+            jnp.abs(lam_e) + 1.0,
+            jnp.maximum(jnp.abs(lam_e), 0.5 * (s.mu_e + jnp.abs(lam_e))),
+        )
+        mu_i = jnp.where(
+            stalled,
+            jnp.abs(lam_i) + 1.0,
+            jnp.maximum(jnp.abs(lam_i), 0.5 * (s.mu_i + jnp.abs(lam_i))),
+        )
 
         # -- line search over the step ladder + one SOC candidate ------------
         def phi(fv, cev, civ):
