@@ -80,6 +80,8 @@ def main():
     # double-precision golden (test/LMPC/test_common.cpp:230-236)
     cg = _golden_check(step, prob, dims, dtype)
 
+    nlmpc_rate, nlmpc_success = _nlmpc_bench()
+
     out = {
         "metric": "quadrotor_lmpc_batched_solves_per_s",
         "value": round(float(solves_per_s), 1),
@@ -90,9 +92,43 @@ def main():
         "step_latency_ms_p99": round(float(np.quantile(lat, 0.99) * 1e3), 3),
         "admm_iters_mean": round(float(jnp.mean(iters)), 1),
         "cmd_max_abs_err_vs_golden": cg,
+        "nlmpc_vdp_solves_per_s": nlmpc_rate,
+        "nlmpc_success_frac": nlmpc_success,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
+
+
+def _nlmpc_bench(B: int = 1024):
+    """Secondary metric: batched Van der Pol NLMPC solves/s (full SQP with
+    exact autodiff derivatives, warm-started steady state)."""
+    import jax.numpy as jnp
+    from libmpc_tpu import NLMPC, NLParameters
+
+    def vdp(x, u, k):
+        return jnp.stack([(1.0 - x[1] * x[1]) * x[0] - x[1] + u[0], x[0]])
+
+    c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=jnp.float32)
+    c.set_discretization_sampling_time(0.1)
+    c.set_optimizer_parameters(
+        NLParameters(maximum_iteration=30, enable_warm_start=True)
+    )
+    c.set_state_space_function(vdp)
+    c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+    c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+
+    rng = np.random.default_rng(0)
+    x0 = np.asarray(rng.uniform(-1, 1, size=(B, 2)), np.float32)
+    res = c.optimize(x0, np.zeros((B, 1), np.float32))
+    res = c.optimize(x0, np.asarray(res.cmd))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = c.optimize(x0, np.asarray(res.cmd))
+        ts.append(time.perf_counter() - t0)
+    rate = B / float(np.mean(ts))
+    success = float(np.mean(np.asarray(res.status) == 0))
+    return round(rate, 1), round(success, 4)
 
 
 def _golden_check(step, prob, dims, dtype):

@@ -57,8 +57,24 @@ class SQPSolution(NamedTuple):
     kkt_res: jax.Array  # final constraint violation (inf-norm)
 
 
-def _qp_params() -> LParameters:
-    """Inner-QP settings: tight tolerances, polish for exact active sets."""
+def _qp_params(f32: bool = False) -> LParameters:
+    """Inner-QP settings: tight tolerances, polish for exact active sets.
+    float32 runs get reachable tolerances (1e-9 is below the f32 noise
+    floor and would force every subproblem to max-iter)."""
+    if f32:
+        return LParameters(
+            maximum_iteration=500,
+            eps_abs=5e-6,
+            eps_rel=5e-6,
+            eps_prim_inf=1e-5,
+            eps_dual_inf=1e-5,
+            polish=False,
+            adaptive_rho=True,
+            check_termination=25,
+            scaling_iters=10,
+            rho=0.1,
+            use_pallas=False,
+        )
     return LParameters(
         maximum_iteration=1000,
         eps_abs=1e-9,
@@ -115,7 +131,9 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
 
     hess_L = jax.hessian(lagrangian)
 
-    qp_par = _qp_params()
+    f32 = dtype == jnp.float32
+    qp_par = _qp_params(f32)
+    acc = 1e-5 if f32 else _INTERNAL_ACC
     eq_mask = jnp.arange(m_qp) < me
     big = jnp.asarray(1e20, dtype)
     finite_lb = jnp.maximum(lb, -big)
@@ -231,8 +249,16 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         cand = jnp.concatenate(
             [s.z[None, :] + alphas[:, None] * d[None, :], (s.z + d_soc)[None, :]]
         )
-        fs, ces, cis = jax.vmap(merit_terms)(cand)
-        phis = jax.vmap(phi)(fs, ces, cis)
+        # the candidate count is small and static: evaluate by unrolled loop
+        # rather than a nested vmap — when sqp_solve itself is vmapped over a
+        # fleet, the doubly-nested vmap of the user model miscompiles on the
+        # experimental TPU plugin (wrong merit values), and the unrolled form
+        # fuses just as well
+        terms = [merit_terms(cand[i]) for i in range(_LS_STEPS + 1)]
+        fs = jnp.stack([t[0] for t in terms])
+        ces = jnp.stack([t[1] for t in terms])
+        cis = jnp.stack([t[2] for t in terms])
+        phis = jnp.stack([phi(*t) for t in terms])
         # Armijo thresholds; SOC candidate judged as a unit step
         ath = phi0 + _ARMIJO_C1 * jnp.concatenate([alphas, alphas[:1]]) * D
         ok = phis <= ath
@@ -255,8 +281,8 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
 
         # -- convergence tests ------------------------------------------------
         scale = 1.0 + jnp.max(jnp.abs(s.z))
-        kkt_ok = (jnp.max(jnp.abs(d)) <= _INTERNAL_ACC * scale) & (
-            s.viol <= jnp.sqrt(_INTERNAL_ACC)
+        kkt_ok = (jnp.max(jnp.abs(d)) <= acc * scale) & (
+            s.viol <= jnp.sqrt(acc)
         )
         df = jnp.abs(f_new - f)
         ftol_ok = jnp.asarray(False)
@@ -271,7 +297,7 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
             xtol_ok = xtol_ok | (
                 step_norm <= params.relative_xtol * jnp.max(jnp.abs(z_new))
             )
-        near_feas = viol_new <= jnp.sqrt(_INTERNAL_ACC)
+        near_feas = viol_new <= jnp.sqrt(acc)
         roundoff = ls_fails >= _MAX_LS_FAILS
 
         status = jnp.where(
@@ -310,7 +336,7 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
     # successful solve in practice (the step simply could not improve the
     # merit any further) — matching how SLSQP reports small final steps
     status = jnp.where(
-        (status == NLOPT_ROUNDOFF_LIMITED) & (out.viol <= jnp.sqrt(_INTERNAL_ACC)),
+        (status == NLOPT_ROUNDOFF_LIMITED) & (out.viol <= jnp.sqrt(acc)),
         NLOPT_XTOL_REACHED,
         status,
     )
