@@ -113,11 +113,13 @@ def _kernel(x_ref, z_ref, y_ref, done_ref, q_ref, l_ref, u_ref,
 
 def fused_iterations(x, z, y, done, q, l, u, A, M, Minv, rho_vec,
                      *, sigma: float, alpha: float, k_iters: int,
-                     refine: bool = True):
+                     refine: bool = True, interpret: bool = False):
     """Run ``k_iters`` ADMM iterations for the whole batch on-chip.
 
     Args shapes: x/q (B, n); z/y/l/u (B, m); done (B,) bool; A (m, n);
     M/Minv (n, n); rho_vec (m,).  Returns updated (x, z, y).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (any
+    backend) — used by the CPU test-suite.
     """
     B, n = x.shape
     m = A.shape[0]
@@ -160,6 +162,7 @@ def fused_iterations(x, z, y, done, q, l, u, A, M, Minv, rho_vec,
             bytes_accessed=4 * B * (2 * n + 4 * m),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(
         x, z, y,
         done.astype(jnp.int32).reshape(B, 1),

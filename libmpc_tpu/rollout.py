@@ -1,0 +1,136 @@
+"""On-device closed-loop rollouts.
+
+The reference's application pattern is a host loop
+(``r = controller.optimize(x, r.cmd); x = plant(x, r.cmd)`` —
+examples/vanderpol_ex.cpp:76-85).  On an accelerator that costs a
+host-device round trip per control step.  This module jits the *entire*
+closed loop — solver and plant — into one ``lax.scan``, so an N-step,
+B-instance simulation is a single device program: the TPU-native way to run
+scenario studies, Monte-Carlo evaluations and controller tuning sweeps.
+
+The plant is any JAX-traceable ``plant_fn(x, u, k) -> x_next`` (use the
+controller's own model for nominal rollouts, or a higher-fidelity /
+perturbed simulator for robustness studies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .lmpc import controller as lmpc_mod
+from .types import Result
+
+
+class Rollout(NamedTuple):
+    """Closed-loop trajectories; leading batch axes follow the inputs."""
+
+    states: jax.Array  # (..., n_steps+1, nx) — includes the initial state
+    inputs: jax.Array  # (..., n_steps, nu) — applied commands
+    costs: jax.Array  # (..., n_steps)
+    statuses: jax.Array  # (..., n_steps) int32 ResultStatus values
+    iterations: jax.Array  # (..., n_steps) solver iterations per step
+
+
+def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Rollout:
+    """Run ``n_steps`` closed-loop LMPC steps fully on device.
+
+    ``x0``/``last_u`` may carry a leading batch axis; warm starting follows
+    the controller's ``enable_warm_start`` parameter and is carried through
+    the scan.
+    """
+    c = controller
+    dims, params = c.dims, c._params
+    x0 = jnp.asarray(x0, c.dtype)
+    last_u = jnp.asarray(last_u, c.dtype)
+    batch = x0.shape[:-1]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(prob, y_ref, u_ref, du_ref, u_meas, x0, u0):
+        warm_x = jnp.zeros(batch + (dims.nz,), c.dtype)
+        warm_y = jnp.zeros(batch + (dims.m,), c.dtype)
+
+        def step(carry, k):
+            x, u, wx, wy, hw = carry
+            result, seq, sol_x, sol_y, iters = lmpc_mod.solve_body(
+                dims, params, prob, x, u, y_ref, u_ref, du_ref, u_meas,
+                wx, wy, hw, u,
+            )
+            x_next = plant_fn(x, result.cmd, k)
+            out = (x, result.cmd, result.cost, result.status, iters)
+            return (x_next, result.cmd, sol_x, sol_y, jnp.asarray(True)), out
+
+        (x_fin, *_), (xs, us, costs, sts, its) = jax.lax.scan(
+            step, (x0, u0, warm_x, warm_y, jnp.asarray(False)),
+            jnp.arange(n_steps),
+        )
+        return x_fin, xs, us, costs, sts, its
+
+    x_fin, xs, us, costs, sts, its = run(
+        c._prob, c._y_ref, c._u_ref, c._du_ref, c._u_meas, x0, last_u
+    )
+    return _pack(x_fin, xs, us, costs, sts, its, batch)
+
+
+def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Rollout:
+    """Run ``n_steps`` closed-loop NLMPC steps fully on device.
+
+    The receding-horizon warm start (shifted previous solution + carried
+    slack) lives in the scan carry, exactly like the reference carries
+    ``opt_vector`` across optimize calls (NLOptimizer.hpp:426-510).
+    """
+    c = controller
+    dims = c.dims
+    x0 = jnp.asarray(x0, c.dtype)
+    last_u = jnp.asarray(last_u, c.dtype)
+    batch = x0.shape[:-1]
+    solve_one = c._make_solve_one()
+    rt = c._runtime_params
+
+    solve = (
+        jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, None)) if batch else solve_one
+    )
+
+    @jax.jit
+    def run(x0, u0, p):
+        z0 = jnp.zeros(batch + (dims.nz,), c.dtype)
+        slack0 = jnp.zeros(batch, c.dtype)
+
+        def step(carry, k):
+            x, u, z, slack, hw = carry
+            sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, p)
+            result, seq = c._pack_result(sol, X, U, Y, feas, u)
+            x_next = plant_fn(x, result.cmd, k)
+            out = (x, result.cmd, result.cost, result.status, sol.iters)
+            return (x_next, result.cmd, sol.z, slack_n, jnp.asarray(True)), out
+
+        (x_fin, *_), (xs, us, costs, sts, its) = jax.lax.scan(
+            step, (x0, u0, z0, slack0, jnp.asarray(False)), jnp.arange(n_steps)
+        )
+        return x_fin, xs, us, costs, sts, its
+
+    x_fin, xs, us, costs, sts, its = run(x0, last_u, rt)
+    return _pack(x_fin, xs, us, costs, sts, its, batch)
+
+
+def _pack(x_fin, xs, us, costs, sts, its, batch) -> Rollout:
+    # scan stacks along axis 0; move the time axis after the batch axes
+    def t_first_to_batch(a, extra=0):
+        if batch:
+            return jnp.moveaxis(a, 0, len(batch))
+        return a
+
+    states = jnp.concatenate(
+        [t_first_to_batch(xs), x_fin[..., None, :]], axis=-2
+    )
+    return Rollout(
+        states=states,
+        inputs=t_first_to_batch(us),
+        costs=t_first_to_batch(costs),
+        statuses=t_first_to_batch(sts),
+        iterations=t_first_to_batch(its),
+    )

@@ -1,0 +1,99 @@
+"""On-device closed-loop rollout tests: one fused scan must reproduce the
+step-by-step host loop exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libmpc_tpu import LParameters, NLParameters
+from libmpc_tpu.rollout import lmpc_rollout, nlmpc_rollout
+
+from test_lmpc import make_quadrotor_controller, quadrotor_model
+from test_nlmpc import make_vdp_controller, vdp_continuous
+
+
+class TestLMPCRollout:
+    def test_matches_host_loop(self):
+        Ad, Bd, _ = quadrotor_model()
+        Ad_j, Bd_j = jnp.asarray(Ad), jnp.asarray(Bd)
+        plant = lambda x, u, k: x @ Ad_j.T + u @ Bd_j.T
+
+        n_steps = 5
+        c1 = make_quadrotor_controller()
+        c1.set_optimizer_parameters(
+            LParameters(maximum_iteration=250, enable_warm_start=True)
+        )
+        roll = lmpc_rollout(c1, plant, np.zeros(12), np.zeros(4), n_steps)
+        assert roll.states.shape == (n_steps + 1, 12)
+        assert roll.inputs.shape == (n_steps, 4)
+
+        c2 = make_quadrotor_controller()
+        c2.set_optimizer_parameters(
+            LParameters(maximum_iteration=250, enable_warm_start=True)
+        )
+        x = np.zeros(12)
+        u = np.zeros(4)
+        for k in range(n_steps):
+            res = c2.optimize(x, u)
+            u = np.asarray(res.cmd)
+            assert np.allclose(u, np.asarray(roll.inputs[k]), atol=1e-9), k
+            x = Ad @ x + Bd @ u
+        assert np.allclose(x, np.asarray(roll.states[-1]), atol=1e-9)
+
+    def test_batched_rollout(self):
+        Ad, Bd, _ = quadrotor_model()
+        Ad_j, Bd_j = jnp.asarray(Ad), jnp.asarray(Bd)
+        plant = lambda x, u, k: x @ Ad_j.T + u @ Bd_j.T
+        c = make_quadrotor_controller()
+        rng = np.random.default_rng(0)
+        B = 4
+        x0 = 0.02 * rng.normal(size=(B, 12))
+        roll = lmpc_rollout(c, plant, x0, np.zeros((B, 4)), 40)
+        assert roll.states.shape == (B, 41, 12)
+        # every instance reaches the altitude reference
+        assert np.all(np.abs(np.asarray(roll.states)[:, -1, 2] - 1.0) < 5e-2)
+        assert np.all(np.asarray(roll.statuses) == 0)
+
+
+class TestNLMPCRollout:
+    def test_matches_host_loop(self):
+        ts = 0.1
+        plant = lambda x, u, k: x + vdp_continuous(x, u, k) * ts
+
+        n_steps = 5
+        c1 = make_vdp_controller()
+        c1.set_optimizer_parameters(
+            NLParameters(maximum_iteration=100, enable_warm_start=True)
+        )
+        roll = nlmpc_rollout(c1, plant, np.array([0.0, 1.0]), np.zeros(1), n_steps)
+
+        c2 = make_vdp_controller()
+        c2.set_optimizer_parameters(
+            NLParameters(maximum_iteration=100, enable_warm_start=True)
+        )
+        x = np.array([0.0, 1.0])
+        u = np.zeros(1)
+        for k in range(n_steps):
+            res = c2.optimize(x, u)
+            u = np.asarray(res.cmd)
+            assert np.allclose(u, np.asarray(roll.inputs[k]), atol=1e-9), k
+            x = np.asarray(plant(jnp.asarray(x), jnp.asarray(u), k))
+
+    def test_batched_regulation(self):
+        import jax
+
+        ts = 0.1
+        vdp_b = jax.vmap(vdp_continuous, in_axes=(0, 0, None))
+        plant = lambda x, u, k: x + vdp_b(x, u, k) * ts
+        c = make_vdp_controller()
+        c.set_optimizer_parameters(
+            NLParameters(maximum_iteration=60, enable_warm_start=True)
+        )
+        rng = np.random.default_rng(1)
+        B = 4
+        x0 = rng.uniform(-0.5, 0.5, size=(B, 2))
+        roll = nlmpc_rollout(c, plant, x0, np.zeros((B, 1)), 120)
+        finals = np.asarray(roll.states)[:, -1]
+        assert np.all(np.abs(finals[:, 0]) < 5e-2)
+        # command cap respected everywhere
+        assert np.asarray(roll.inputs).max() <= 0.5 + 1e-6
