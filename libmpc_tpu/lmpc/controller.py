@@ -14,8 +14,9 @@ solving the whole fleet in one device program.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -232,7 +233,7 @@ class LMPC:
         self._check_shape(B, (self.dims.nx, self.dims.nu), "B")
         self._check_shape(C, (self.dims.ny, self.dims.nx), "C")
         ssA, ssB, ssC = qp.make_augmented_model(A, B, C)
-        self._prob = dataclasses_replace(self._prob, ssA=ssA, ssB=ssB, ssC=ssC)
+        self._prob = dataclasses.replace(self._prob, ssA=ssA, ssB=ssB, ssC=ssC)
         return True
 
     def set_disturbances(self, Bd, Dd) -> bool:
@@ -242,7 +243,7 @@ class LMPC:
         self._check_shape(Bd, (self.dims.nx, self.dims.ndu), "Bd")
         self._check_shape(Dd, (self.dims.ny, self.dims.ndu), "Dd")
         ssBv, ssDv = qp.make_disturbance_model(Bd, Dd, self.dims.nu)
-        self._prob = dataclasses_replace(self._prob, ssBv=ssBv, ssDv=ssDv)
+        self._prob = dataclasses.replace(self._prob, ssBv=ssBv, ssDv=ssDv)
         return True
 
     # -- objective weights ----------------------------------------------
@@ -256,7 +257,7 @@ class LMPC:
             ow = np.asarray(o_weight, float).T  # -> (ph, ny)
             uw = np.asarray(u_weight, float).T
             dw = np.asarray(du_weight, float).T
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 w_out=jnp.asarray(_dup0(ow), self.dtype),
                 w_u=jnp.asarray(_dup0(uw), self.dtype),
@@ -277,7 +278,7 @@ class LMPC:
             ),
         )
         if ok:
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 w_out=jnp.asarray(ow, self.dtype),
                 w_u=jnp.asarray(uw, self.dtype),
@@ -292,7 +293,7 @@ class LMPC:
         if x_min.ndim == 2 and slice is None:
             mn = _dup0(np.asarray(x_min, float).T)
             mx = _dup0(np.asarray(x_max, float).T)
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 min_x=jnp.asarray(mn, self.dtype),
                 max_x=jnp.asarray(mx, self.dtype),
@@ -305,7 +306,7 @@ class LMPC:
             slice, lambda i: (_set_step(mn, i, x_min), _set_step(mx, i, x_max))
         )
         if ok:
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 min_x=jnp.asarray(mn, self.dtype),
                 max_x=jnp.asarray(mx, self.dtype),
@@ -327,7 +328,7 @@ class LMPC:
             if self.dims.ch < self.dims.ph:
                 mn[self.dims.ch :] = umn[-1]
                 mx[self.dims.ch :] = umx[-1]
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 min_u=jnp.asarray(mn, self.dtype),
                 max_u=jnp.asarray(mx, self.dtype),
@@ -345,7 +346,7 @@ class LMPC:
         for i in range(slice.start, slice.end):
             mn[i] = np.asarray(u_min, float)
             mx[i] = np.asarray(u_max, float)
-        self._prob = dataclasses_replace(
+        self._prob = dataclasses.replace(
             self._prob,
             min_u=jnp.asarray(mn, self.dtype),
             max_u=jnp.asarray(mx, self.dtype),
@@ -358,7 +359,7 @@ class LMPC:
         if y_min.ndim == 2 and slice is None:
             mn = _dup0(np.asarray(y_min, float).T)
             mx = _dup0(np.asarray(y_max, float).T)
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 min_y=jnp.asarray(mn, self.dtype),
                 max_y=jnp.asarray(mx, self.dtype),
@@ -371,7 +372,7 @@ class LMPC:
             slice, lambda i: (_set_step(mn, i, y_min), _set_step(mx, i, y_max))
         )
         if ok:
-            self._prob = dataclasses_replace(
+            self._prob = dataclasses.replace(
                 self._prob,
                 min_y=jnp.asarray(mn, self.dtype),
                 max_y=jnp.asarray(mx, self.dtype),
@@ -390,7 +391,7 @@ class LMPC:
         mx = np.array(self._prob.max_u)
         mn[index] = np.asarray(u_min, float)
         mx[index] = np.asarray(u_max, float)
-        self._prob = dataclasses_replace(
+        self._prob = dataclasses.replace(
             self._prob,
             min_u=jnp.asarray(mn, self.dtype),
             max_u=jnp.asarray(mx, self.dtype),
@@ -429,7 +430,7 @@ class LMPC:
                         s_max[0] = max_val
             else:
                 return False
-        self._prob = dataclasses_replace(
+        self._prob = dataclasses.replace(
             self._prob,
             s_min=jnp.asarray(s_min, self.dtype),
             s_max=jnp.asarray(s_max, self.dtype),
@@ -626,9 +627,3 @@ def _set_step(arr_ph1: np.ndarray, i: int, value) -> None:
     arr_ph1[i + 1] = value
     if i == 0:
         arr_ph1[0] = value
-
-
-def dataclasses_replace(obj, **changes):
-    import dataclasses
-
-    return dataclasses.replace(obj, **changes)

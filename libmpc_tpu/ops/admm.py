@@ -434,11 +434,14 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
     """
     dtype = P.dtype
     n = P.shape[1]
-    # float32 needs a much larger regularizer for the penalty form to stay
-    # factorizable; the KKT-targeted refinement then removes the extra bias
+    # float32 needs a larger regularizer (and more refinement sweeps) than
+    # the f64 path; delta must stay below the KKT system's smallest relevant
+    # eigenvalue or the refinement iteration diverges.  Note the overall f32
+    # accuracy is bounded by the conditioning of the *rounded problem data*
+    # (kappa * eps_f32 ~ 1e-4 for the quadrotor family), not by this solve.
     f32 = dtype == jnp.float32
-    delta = jnp.asarray(1e-2 if f32 else 1e-6, dtype)
-    refine_iters = max(params.polish_refine_iter, 10) if f32 else params.polish_refine_iter
+    delta = jnp.asarray(1e-4 if f32 else 1e-6, dtype)
+    refine_iters = max(params.polish_refine_iter, 15) if f32 else params.polish_refine_iter
 
     low_active = (sol_y < 0) | (eq_mask[None, :] & (sol_y <= 0))
     upp_active = sol_y > 0

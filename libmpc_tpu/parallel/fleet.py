@@ -103,6 +103,7 @@ class LMPCFleet:
         self._warm_x = None
         self._warm_y = None
         self._step_fn = None
+        self._batched_refs = False
 
     def _build(self, batched_refs: bool):
         dims = self.dims

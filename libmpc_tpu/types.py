@@ -113,13 +113,6 @@ class LParameters(Parameters):
     # to the XLA loop otherwise
     use_pallas: bool = True
 
-    def __post_init__(self):
-        if self.maximum_iteration == 100:
-            # OSQP's own default max_iter is 4000; the reference forwards
-            # Parameters.maximum_iteration (default 100) to OSQP
-            # (LOptimizer.hpp:254), so we keep 100 to match.
-            pass
-
 
 @dataclasses.dataclass(frozen=True)
 class NLParameters(Parameters):
