@@ -24,9 +24,6 @@ arrays (call ``np.asarray`` to inspect), and shapes are fixed per compile.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import numpy as np
 
 from . import types as _t

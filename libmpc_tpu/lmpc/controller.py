@@ -32,7 +32,7 @@ from ..types import (
     ResultStatus,
     default_dtype,
 )
-from ..utils.logger import Logger, LogLevel, LogType
+from ..utils.logger import Logger, LogLevel
 from ..utils.profiler import Profiler, SolutionStats
 from . import problem as qp
 
@@ -526,6 +526,18 @@ class LMPC:
             if have_warm
             else jnp.zeros(batch + (self.dims.m,), self.dtype)
         )
+
+        # DETAIL-level dump of the generated problem, mirroring the
+        # reference's per-solve matrix logging (LOptimizer.hpp:201-211)
+        log = Logger.instance()
+        if log.level == LogLevel.DEEP:
+            P, A, lineq, uineq = qp.build_time_invariant(self.dims, self._prob)
+            qv, lv, uv = qp.build_time_varying(
+                self.dims, self._prob, lineq, uineq, x0, last_u,
+                self._y_ref, self._u_ref, self._du_ref, self._u_meas,
+            )
+            for name, arr in (("P", P), ("A", A), ("q", qv), ("l", lv), ("u", uv)):
+                log.detail(f"{name} = {np.array2string(np.asarray(arr), threshold=50)}")
 
         self._profiler.solution_start()
         result, seq, sol_x, sol_y, iters = _solve_kernel(

@@ -27,7 +27,7 @@ the natural layout for ``lax.scan``/``vmap`` and for batched updates.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

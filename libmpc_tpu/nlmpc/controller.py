@@ -14,7 +14,6 @@ the SQP (including its inner ADMM QPs) is vmapped across the fleet.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -391,6 +390,17 @@ class NLMPC:
             self._runtime_params,
         )
         jax.block_until_ready(result.cmd)
+        # populate the host-side status message like the reference's
+        # exception reporting (NLOptimizer.hpp:550-571)
+        status_val = int(np.max(np.asarray(result.status)))
+        if status_val == int(ResultStatus.ERROR):
+            result = dataclasses.replace(
+                result,
+                solver_status_msg=(
+                    "Internal solver error: line search could not make "
+                    "progress (roundoff limited)"
+                ),
+            )
         self._opt_vector = z_out
         self._current_slack = slack
         self._first_iteration = False

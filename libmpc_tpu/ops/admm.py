@@ -32,7 +32,6 @@ directly comparable with the reference's
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 

@@ -16,8 +16,6 @@ cross DCN only at the end of each step.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dims import LDims
 from ..lmpc import controller as lmpc_controller
-from ..lmpc import problem as qp
-from ..types import LParameters, OptSequence, Result, ResultStatus
+from ..types import ResultStatus
 from . import mesh as mesh_lib
 
 

@@ -25,7 +25,6 @@ per-row rho (eq rows x1e3), no infeasibility certificates, no polish.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

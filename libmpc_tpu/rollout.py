@@ -15,7 +15,6 @@ perturbed simulator for robustness studies).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, NamedTuple
 

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
-
 import jax
 import numpy as np
 
