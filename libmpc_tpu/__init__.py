@@ -58,10 +58,27 @@ __all__ = [
 ]
 
 
-def __getattr__(name):
-    # NLMPC imported lazily to keep circularity manageable during buildout.
-    if name == "NLMPC":
-        from .nlmpc.controller import NLMPC
+_LAZY = {
+    "NLMPC": ("libmpc_tpu.nlmpc.controller", "NLMPC"),
+    "LMPCFleet": ("libmpc_tpu.parallel.fleet", "LMPCFleet"),
+    "NLMPCFleet": ("libmpc_tpu.parallel.fleet", "NLMPCFleet"),
+    "FleetStats": ("libmpc_tpu.parallel.fleet", "FleetStats"),
+    "make_mesh": ("libmpc_tpu.parallel.mesh", "make_mesh"),
+    "init_distributed": ("libmpc_tpu.parallel.mesh", "init_distributed"),
+    "solve_sharded": ("libmpc_tpu.parallel.qp_sharded", "solve_sharded"),
+    "lmpc_rollout": ("libmpc_tpu.rollout", "lmpc_rollout"),
+    "nlmpc_rollout": ("libmpc_tpu.rollout", "nlmpc_rollout"),
+    "Rollout": ("libmpc_tpu.rollout", "Rollout"),
+}
 
-        return NLMPC
+__all__ += list(_LAZY)
+
+
+def __getattr__(name):
+    # heavier subsystems import lazily so `import libmpc_tpu` stays light
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -282,3 +282,49 @@ class TestWarmStartShift:
         assert np.allclose(out[:6], [2, 3, 4, 5, 4, 5])
         assert np.allclose(out[6:8], [7, 7])
         assert out[8] == 8
+
+
+class TestUserEqualityEndToEnd:
+    def test_terminal_equality_constraint(self):
+        """User eq constraints drive the terminal state to a target through
+        the SQP (eq path exercised end-to-end, not just plumbing)."""
+        ph, ch = 8, 8
+        target = jnp.array([0.5, -0.25])
+        c = NLMPC(nx=2, nu=1, ny=2, ph=ph, ch=ch, ineq=0, eq=2)
+        # simple double integrator, discrete
+        A = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+        B = jnp.array([[0.005], [0.1]])
+        c.set_state_space_function(lambda x, u, k: A @ x + B @ u)
+        c.set_objective_function(lambda X, Y, U, e: jnp.sum(U**2))
+        assert c.set_eq_con_function(lambda X, U: X[-1] - target)
+        c.set_optimizer_parameters(NLParameters(maximum_iteration=100))
+        res = c.optimize(np.zeros(2), np.zeros(1))
+        seq = c.get_optimal_sequence()
+        assert bool(res.is_feasible), np.asarray(res.status)
+        assert np.allclose(np.asarray(seq.state)[-1], np.asarray(target), atol=1e-6)
+        # dynamics hold along the horizon
+        X = np.asarray(seq.state)
+        U = np.asarray(seq.input)
+        for k in range(ph):
+            assert np.allclose(
+                X[k + 1], np.asarray(A) @ X[k] + np.asarray(B) @ U[k], atol=1e-6
+            )
+
+    def test_mixed_eq_and_ineq(self):
+        """Equality + inequality constraints active together."""
+        ph, ch = 6, 6
+        c = NLMPC(nx=2, nu=1, ny=2, ph=ph, ch=ch, ineq=ph, eq=1)
+        A = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+        B = jnp.array([[0.005], [0.1]])
+        c.set_state_space_function(lambda x, u, k: A @ x + B @ u)
+        c.set_objective_function(lambda X, Y, U, e: jnp.sum(U**2))
+        # terminal position target 0.3 (max reachable with u <= 2 is 0.36,
+        # so the input cap is genuinely active on the way)
+        assert c.set_eq_con_function(lambda X, U: X[-1, 0:1] - 0.3)
+        assert c.set_ineq_con_function(lambda X, Y, U, e: U[:ph, 0] - 2.0)
+        c.set_optimizer_parameters(NLParameters(maximum_iteration=100))
+        res = c.optimize(np.zeros(2), np.zeros(1))
+        seq = c.get_optimal_sequence()
+        assert bool(res.is_feasible)
+        assert abs(np.asarray(seq.state)[-1, 0] - 0.3) < 1e-6
+        assert np.asarray(seq.input)[:ph].max() <= 2.0 + 1e-8
