@@ -64,6 +64,7 @@ def _qp_params(f32: bool = False) -> LParameters:
     if f32:
         return LParameters(
             maximum_iteration=500,
+            enable_warm_start=True,
             eps_abs=5e-6,
             eps_rel=5e-6,
             eps_prim_inf=1e-5,
@@ -77,6 +78,7 @@ def _qp_params(f32: bool = False) -> LParameters:
         )
     return LParameters(
         maximum_iteration=1000,
+        enable_warm_start=True,
         eps_abs=1e-9,
         eps_rel=1e-9,
         eps_prim_inf=1e-6,
@@ -163,6 +165,8 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         status: jax.Array
         ls_fails: jax.Array
         viol: jax.Array
+        qp_x: jax.Array  # inner-QP warm start: previous direction
+        qp_y: jax.Array  # inner-QP warm start: previous duals
 
     f0, ce0, ci0 = merit_terms(z0)
     init = Carry(
@@ -176,6 +180,8 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         status=jnp.asarray(0, jnp.int32),
         ls_fails=jnp.asarray(0, jnp.int32),
         viol=constraint_viol(ce0, ci0),
+        qp_x=jnp.zeros((nz,), dtype),
+        qp_y=jnp.zeros((m_qp,), dtype),
     )
 
     def body(s: Carry) -> Carry:
@@ -206,7 +212,13 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
             [-ce, jnp.full((mi,), -jnp.inf, dtype), finite_lb - s.z]
         )
         u_qp = jnp.concatenate([-ce, -ci, finite_ub - s.z])
-        sol = admm.admm_solve(B, A_qp, g, l_qp, u_qp, params=qp_par, eq_mask=eq_mask)
+        # warm-start each subproblem from the previous SQP iteration's
+        # direction/duals — across iterations the QP changes slowly, so the
+        # inner ADMM typically converges in a fraction of the cold iterations
+        sol = admm.admm_solve(
+            B, A_qp, g, l_qp, u_qp, params=qp_par, eq_mask=eq_mask,
+            warm_x=s.qp_x, warm_y=s.qp_y,
+        )
         d = sol.x
         lam_e = sol.y[:me]
         lam_i = sol.y[me : me + mi]
@@ -325,6 +337,8 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
             status=status,
             ls_fails=ls_fails,
             viol=viol_new,
+            qp_x=sol.x,
+            qp_y=sol.y,
         )
 
     def cond(s: Carry):
