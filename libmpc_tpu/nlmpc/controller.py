@@ -101,6 +101,7 @@ class NLMPC:
         )
         self._profiler = Profiler()
         self._runtime_params = ()  # traced per-solve parameter pytree
+        self._runtime_params_batched = False
         self._solve_fn = None  # compiled closure, invalidated by setters
 
     # ------------------------------------------------------------------
@@ -136,11 +137,18 @@ class NLMPC:
             self._lb[-1] = 0.0
             self._ub[-1] = np.inf
 
-    def set_runtime_params(self, params) -> None:
+    def set_runtime_params(self, params, batched: bool = False) -> None:
         """Set the runtime-parameter pytree passed (traced) to callbacks that
         declare a trailing ``p`` argument.  Changing the *values* costs no
-        recompilation; changing the tree structure re-jits once."""
+        recompilation; changing the tree structure re-jits once.
+
+        With ``batched=True`` every leaf carries a leading batch axis matched
+        to the batch of ``optimize`` — per-instance scenario data (e.g. each
+        instance its own obstacle set)."""
+        if batched != self._runtime_params_batched:
+            self._invalidate()
         self._runtime_params = params
+        self._runtime_params_batched = batched
 
     def set_input_scale(self, scaling) -> None:
         """(reference: include/mpc/NLMPC.hpp:108-115)."""
@@ -337,12 +345,13 @@ class NLMPC:
 
     def _build_solve_fn(self):
         solve_one = self._make_solve_one()
+        p_axis = 0 if self._runtime_params_batched else None
 
         @jax.jit
         def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p):
             batched = x0.ndim == 2
             fn = (
-                jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, None))
+                jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, p_axis))
                 if batched
                 else solve_one
             )

@@ -196,9 +196,12 @@ class NLMPCFleet:
         axis = mesh_lib.DATA_AXIS
         solve_one = c._make_solve_one()
 
+        p_axis = 0 if c._runtime_params_batched else None
+        p_spec = P(axis) if c._runtime_params_batched else P()
+
         def step(z_prev, use_prev, x0, u0, slack0, prev_cmd, p):
             sol, X, U, Y, slack, feas = jax.vmap(
-                solve_one, in_axes=(0, None, 0, 0, 0, None)
+                solve_one, in_axes=(0, None, 0, 0, 0, p_axis)
             )(z_prev, use_prev, x0, u0, slack0, p)
             result, seq = c._pack_result(sol, X, U, Y, feas, prev_cmd)
             stats = _local_stats(result.status, sol.iters, axis)
@@ -207,7 +210,7 @@ class NLMPCFleet:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), P()),
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), p_spec),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             check_vma=False,
         )

@@ -125,3 +125,49 @@ class TestNetworkedOscillators:
             assert cmd.max() <= 0.5 + 1e-6
             x = x + np.asarray(dyn(jnp.asarray(x), jnp.asarray(cmd), 0)) * ts
         assert np.sum(x**2) < e0  # energy decreased under control
+
+
+class TestPerInstanceRuntimeParams:
+    def test_batched_obstacle_sets(self):
+        """Each fleet instance avoids its own obstacle (batched runtime
+        params), covering BASELINE's 'randomized obstacle sets' scenario."""
+        import jax
+
+        ph = 6
+        c = NLMPC(4, 2, 4, ph, ph, ph + 1, 0)
+        A = np.zeros((4, 4))
+        A[0:2, 2:4] = np.eye(2)
+        B = np.zeros((4, 2))
+        B[2:4, 0:2] = np.eye(2)
+        Ad, Bd = map(np.asarray, discretization(A, B, 0.1))
+        Ad_j, Bd_j = jnp.asarray(Ad), jnp.asarray(Bd)
+        c.set_state_space_function(lambda x, u, k: Ad_j @ x + Bd_j @ u)
+
+        def objective(X, Y, U, e, p):
+            v_err = X[:, 2:4] - jnp.array([1.0, 0.0])[None, :]
+            return 1e3 * jnp.sum(v_err**2) + 1e-2 * jnp.sum(U**2) + 1e-5 * e * e
+
+        def ineq(X, Y, U, e, p):
+            pos = X[:, 0:2]
+            d = jnp.sqrt(jnp.sum((pos - p["obstacle"][None, :]) ** 2, -1))
+            return 0.3 - d
+
+        c.set_objective_function(objective)
+        c.set_ineq_con_function(ineq)
+        c.set_optimizer_parameters(
+            NLParameters(maximum_iteration=50, hard_constraints=False)
+        )
+        Bn = 3
+        obstacles = jnp.asarray([[0.6, 0.05], [0.6, -0.05], [10.0, 10.0]])
+        c.set_runtime_params({"obstacle": obstacles}, batched=True)
+        res = c.optimize(np.zeros((Bn, 4)), np.zeros((Bn, 2)))
+        seqs = c.get_optimal_sequence()
+        X = np.asarray(seqs.state)
+        # instances with a near obstacle plan around it; the far-obstacle
+        # instance drives straight: its planned y-deviation is the smallest
+        dev = np.abs(X[:, :, 1]).max(axis=1)
+        assert dev[2] <= dev[0] + 1e-9 and dev[2] <= dev[1] + 1e-9
+        # every plan respects its own obstacle (soft margin)
+        for i in range(Bn):
+            d = np.linalg.norm(X[i, :, 0:2] - np.asarray(obstacles[i]), axis=1)
+            assert d.min() > 0.3 - 0.06, (i, d.min())
