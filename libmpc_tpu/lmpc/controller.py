@@ -486,6 +486,58 @@ class LMPC:
         self._u_meas = jnp.asarray(m, self.dtype)
         return True
 
+    # -- per-instance fleet bounds (TPU-native extension) ------------------
+    def set_instance_bounds(
+        self,
+        state=None,
+        input=None,
+        output=None,
+        scalar=None,
+    ) -> bool:
+        """Per-instance box bounds for batched/fleet solves.
+
+        Each argument is an optional ``(min, max)`` pair of *batched,
+        time-major* arrays: state/output ``(B, ph, nx/ny)``, input
+        ``(B, ch, nu)``, scalar ``(B, ph)``.  Index-0 duplication and the
+        ch->ph input replication follow the reference conventions.  The QP
+        structure (model, weights) stays shared across the batch — only the
+        bound vectors batch, so the solver's shared-KKT fast path is kept.
+        """
+        import dataclasses as _dc
+
+        changes = {}
+        if state is not None:
+            mn, mx = (np.asarray(v, float) for v in state)
+            changes["min_x"] = jnp.asarray(_dup_step0(mn), self.dtype)
+            changes["max_x"] = jnp.asarray(_dup_step0(mx), self.dtype)
+        if output is not None:
+            mn, mx = (np.asarray(v, float) for v in output)
+            changes["min_y"] = jnp.asarray(_dup_step0(mn), self.dtype)
+            changes["max_y"] = jnp.asarray(_dup_step0(mx), self.dtype)
+        if input is not None:
+            mn, mx = (np.asarray(v, float) for v in input)
+            ch, ph = self.dims.ch, self.dims.ph
+            if mn.shape[-2] != ch:
+                raise ValueError(f"input bounds must have {ch} steps")
+            if ch < ph:
+                rep = lambda a: np.concatenate(
+                    [a, np.repeat(a[..., -1:, :], ph - ch, axis=-2)], axis=-2
+                )
+                mn, mx = rep(mn), rep(mx)
+            changes["min_u"] = jnp.asarray(mn, self.dtype)
+            changes["max_u"] = jnp.asarray(mx, self.dtype)
+        if scalar is not None:
+            mn, mx = (np.asarray(v, float) for v in scalar)
+            changes["s_min"] = jnp.asarray(
+                np.concatenate([mn[..., :1], mn], axis=-1), self.dtype
+            )
+            changes["s_max"] = jnp.asarray(
+                np.concatenate([mx[..., :1], mx], axis=-1), self.dtype
+            )
+        if changes:
+            self._prob = dataclasses.replace(self._prob, **changes)
+        return True
+
     # -- warm start accessors (reference: include/mpc/LMPC.hpp:677-722) ---
     def get_solver_warm_start_primal(self):
         return np.array(self._warm_x) if self._warm_x is not None else np.zeros((0,))
@@ -624,6 +676,12 @@ class LMPC:
     def _check_shape(arr, shape, name):
         if tuple(arr.shape) != tuple(shape):
             raise ValueError(f"{name} must have shape {shape}, got {tuple(arr.shape)}")
+
+
+def _dup_step0(arr: np.ndarray) -> np.ndarray:
+    """Batched time-major (…, ph, f) -> (…, ph+1, f) with the index-0
+    duplication convention."""
+    return np.concatenate([arr[..., :1, :], arr], axis=-2)
 
 
 def _dup0(mat_ph: np.ndarray) -> np.ndarray:

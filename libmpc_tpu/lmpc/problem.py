@@ -194,20 +194,51 @@ def build_time_invariant(
     A = jnp.concatenate([Aeq, Aineq], axis=0)
 
     # -- static inequality bounds ----------------------------------------
-    # box: [min_x_i ; min_u_{min(i, ph-1)}] per step (ProblemBuilder.hpp:735-749)
+    # box: [min_x_i ; min_u_{min(i, ph-1)}] per step (ProblemBuilder.hpp:735-749).
+    # Bound leaves may carry a leading batch axis (per-instance bounds for
+    # fleet solves); the model/weight terms above stay shared.
+    batch = jnp.broadcast_shapes(
+        prob.min_x.shape[:-2], prob.min_u.shape[:-2], prob.min_y.shape[:-2],
+        prob.s_min.shape[:-1],
+    )
+    bcast = lambda a, tail: jnp.broadcast_to(a, batch + tail)
     u_idx = jnp.minimum(jnp.arange(ph + 1), ph - 1)
-    e_min = jnp.concatenate([prob.min_x, prob.min_u[u_idx]], axis=1).reshape(-1)
-    e_max = jnp.concatenate([prob.max_x, prob.max_u[u_idx]], axis=1).reshape(-1)
+    e_min = jnp.concatenate(
+        [
+            bcast(prob.min_x, (ph + 1, nx)),
+            bcast(jnp.take(prob.min_u, u_idx, axis=-2), (ph + 1, nu)),
+        ],
+        axis=-1,
+    ).reshape(batch + (-1,))
+    e_max = jnp.concatenate(
+        [
+            bcast(prob.max_x, (ph + 1, nx)),
+            bcast(jnp.take(prob.max_u, u_idx, axis=-2), (ph + 1, nu)),
+        ],
+        axis=-1,
+    ).reshape(batch + (-1,))
     # du rows: free through step ch, pinned to 0 after (ProblemBuilder.hpp:782-793)
     steps = jnp.arange(ph)
     du_min = jnp.where(steps[:, None] > ch, 0.0, -inf) * jnp.ones((1, nu), dtype)
     du_max = jnp.where(steps[:, None] > ch, 0.0, inf) * jnp.ones((1, nu), dtype)
 
     lineq = jnp.concatenate(
-        [e_min, prob.min_y.reshape(-1), du_min.reshape(-1), prob.s_min]
+        [
+            e_min,
+            bcast(prob.min_y, (ph + 1, ny)).reshape(batch + (-1,)),
+            jnp.broadcast_to(du_min.reshape(-1), batch + (ph * nu,)),
+            bcast(prob.s_min, (ph + 1,)),
+        ],
+        axis=-1,
     )
     uineq = jnp.concatenate(
-        [e_max, prob.max_y.reshape(-1), du_max.reshape(-1), prob.s_max]
+        [
+            e_max,
+            bcast(prob.max_y, (ph + 1, ny)).reshape(batch + (-1,)),
+            jnp.broadcast_to(du_max.reshape(-1), batch + (ph * nu,)),
+            bcast(prob.s_max, (ph + 1,)),
+        ],
+        axis=-1,
     )
     return P, A, lineq, uineq
 
@@ -255,7 +286,8 @@ def build_time_varying(
     q_du = -(prob.w_du * du_ref_e[..., :ph, :])
 
     batch = jnp.broadcast_shapes(
-        x0.shape[:-1], u0.shape[:-1], y_ref.shape[:-2], u_meas.shape[:-2]
+        x0.shape[:-1], u0.shape[:-1], y_ref.shape[:-2], u_meas.shape[:-2],
+        lineq.shape[:-1],
     )
     q_aug = jnp.broadcast_to(q_aug, batch + q_aug.shape[-2:])
     q_du = jnp.broadcast_to(q_du, batch + q_du.shape[-2:])
@@ -280,8 +312,12 @@ def build_time_varying(
         offset, out_off, dims.n_box, axis=-1
     )
 
-    l = jnp.concatenate([leq, jnp.broadcast_to(lineq, batch + lineq.shape) + offset], axis=-1)
-    u = jnp.concatenate([leq, jnp.broadcast_to(uineq, batch + uineq.shape) + offset], axis=-1)
+    l = jnp.concatenate(
+        [leq, jnp.broadcast_to(lineq, batch + lineq.shape[-1:]) + offset], axis=-1
+    )
+    u = jnp.concatenate(
+        [leq, jnp.broadcast_to(uineq, batch + uineq.shape[-1:]) + offset], axis=-1
+    )
     return q, l, u
 
 

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dims import LDims
 from ..lmpc import controller as lmpc_controller
+from ..lmpc import problem as lmpc_problem
 from ..types import ResultStatus
 from . import mesh as mesh_lib
 
@@ -100,13 +101,21 @@ class LMPCFleet:
         self._warm_x = None
         self._warm_y = None
         self._step_fn = None
-        self._batched_refs = False
+        self._step_key = None
 
-    def _build(self, batched_refs: bool):
+    def _build(self, batched_refs: bool, prob_pattern):
         dims = self.dims
         params = self.controller._params
         axis = mesh_lib.DATA_AXIS
         ref_spec = P(axis) if batched_refs else P()
+        # problem-data leaves with a leading batch axis (per-instance bounds)
+        # shard over data; shared leaves replicate
+        template = lmpc_problem.init_problem(dims, self.controller.dtype)
+        prob_spec = jax.tree.map(
+            lambda t, batched: P(axis) if batched else P(),
+            template,
+            prob_pattern,
+        )
 
         def step(prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
                  warm_x, warm_y, have_warm, prev_cmd):
@@ -121,7 +130,7 @@ class LMPCFleet:
             step,
             mesh=self.mesh,
             in_specs=(
-                P(),  # problem data replicated
+                prob_spec,  # problem data (bound leaves may shard over data)
                 P(axis), P(axis),  # x0, u0
                 ref_spec, ref_spec, ref_spec, ref_spec,  # references
                 P(axis), P(axis), P(), P(axis),  # warm state, flag, prev cmd
@@ -155,9 +164,14 @@ class LMPCFleet:
         else:
             y_ref, u_ref, du_ref, u_meas = c._y_ref, c._u_ref, c._du_ref, c._u_meas
 
-        if self._step_fn is None or self._batched_refs != batched_refs:
-            self._step_fn = self._build(batched_refs)
-            self._batched_refs = batched_refs
+        template = lmpc_problem.init_problem(self.dims, c.dtype)
+        prob_pattern = jax.tree.map(
+            lambda t, leaf: leaf.ndim > t.ndim, template, c._prob
+        )
+        cache_key = (batched_refs, tuple(jax.tree.leaves(prob_pattern)))
+        if self._step_fn is None or self._step_key != cache_key:
+            self._step_fn = self._build(batched_refs, prob_pattern)
+            self._step_key = cache_key
 
         have_warm = (
             c._params.enable_warm_start

@@ -407,3 +407,89 @@ class TestSliceValidation:
             assert c.is_control_horizon_slice_valid(HorizonSlice(0, ch))
             assert not c.is_prediction_horizon_slice_valid(HorizonSlice(0, ph + 1))
             assert not c.is_control_horizon_slice_valid(HorizonSlice(0, ch + 1))
+
+
+class TestInfeasibleHandling:
+    def test_primal_infeasible_reports_nan_cmd(self):
+        """Contradictory state bounds: INFEASIBLE status and NaN command,
+        matching OSQP v0.6.3's NaN solution store that the reference
+        forwards verbatim (LOptimizer.hpp:292-347)."""
+        c = LMPC(2, 1, 0, 2, 4, 4)
+        c.set_state_space_model(np.eye(2), np.array([[1.0], [1.0]]), np.eye(2))
+        c.set_objective_weights(np.ones(2), np.ones(1), np.ones(1), HorizonSlice.all())
+        # require x in [5, 6] from step 1 onward while dynamics from x0=0
+        # with |u| <= 0.01 cannot reach it
+        assert c.set_state_bounds(np.full(2, 5.0), np.full(2, 6.0), HorizonSlice.all())
+        assert c.set_input_bounds(np.full(1, -0.01), np.full(1, 0.01), HorizonSlice.all())
+        c.set_optimizer_parameters(LParameters(maximum_iteration=4000))
+        res = c.optimize(np.zeros(2), np.zeros(1))
+        assert int(res.status) == int(ResultStatus.INFEASIBLE)
+        assert not bool(res.is_feasible)
+        assert np.all(np.isnan(np.asarray(res.cmd)))
+        assert np.isinf(float(res.cost))
+
+    def test_batched_mixed_feasibility(self):
+        """A batch mixing feasible and infeasible instances: each gets its
+        own verdict."""
+        c = LMPC(2, 1, 0, 2, 4, 4)
+        c.set_state_space_model(np.eye(2), np.array([[1.0], [1.0]]), np.eye(2))
+        c.set_objective_weights(np.ones(2), np.ones(1), np.ones(1), HorizonSlice.all())
+        # bounds near the initial state: instance at origin is feasible,
+        # instance far outside [-1, 1] cannot enter with |u| <= 0.01
+        assert c.set_state_bounds(np.full(2, -1.0), np.full(2, 1.0), HorizonSlice.all())
+        assert c.set_input_bounds(np.full(1, -0.01), np.full(1, 0.01), HorizonSlice.all())
+        c.set_optimizer_parameters(LParameters(maximum_iteration=4000))
+        x0 = np.array([[0.0, 0.0], [30.0, 30.0]])
+        res = c.optimize(x0, np.zeros((2, 1)))
+        sts = np.asarray(res.status)
+        assert sts[0] == int(ResultStatus.SUCCESS)
+        assert sts[1] == int(ResultStatus.INFEASIBLE)
+        assert np.all(np.isfinite(np.asarray(res.cmd[0])))
+        assert np.all(np.isnan(np.asarray(res.cmd[1])))
+
+
+class TestPerInstanceBounds:
+    def test_batched_bounds_match_per_instance_setters(self):
+        """Per-instance input caps via set_instance_bounds reproduce separate
+        controllers configured with the same caps."""
+        B = 3
+        caps = np.array([0.5, 1.0, 2.0])
+        ph = 10
+        c = make_quadrotor_controller()
+        u0hover = 10.5916
+        umin_b = np.tile(np.full((1, ph, 4), 9.6 - u0hover), (B, 1, 1))
+        umax_b = np.stack([np.full((ph, 4), cap) for cap in caps])
+        c.set_instance_bounds(input=(umin_b, umax_b))
+        res_b = c.optimize(np.zeros((B, 12)), np.zeros((B, 4)))
+        for i, cap in enumerate(caps):
+            ci = make_quadrotor_controller()
+            ci.set_input_bounds(
+                np.full(4, 9.6 - u0hover), np.full(4, cap), HorizonSlice(0, ph)
+            )
+            ri = ci.optimize(np.zeros(12), np.zeros(4))
+            assert np.allclose(
+                np.asarray(res_b.cmd[i]), np.asarray(ri.cmd), atol=1e-6
+            ), (i, cap)
+        # tighter caps actually bind
+        assert np.asarray(res_b.cmd[0]).max() <= 0.5 + 1e-7
+
+    def test_fleet_with_batched_bounds(self):
+        import jax as _jax
+
+        from libmpc_tpu.parallel import mesh as mesh_lib
+        from libmpc_tpu.parallel.fleet import LMPCFleet
+
+        B = 8
+        ph = 10
+        u0hover = 10.5916
+        caps = np.linspace(0.5, 2.0, B)
+        c = make_quadrotor_controller()
+        umin_b = np.tile(np.full((1, ph, 4), 9.6 - u0hover), (B, 1, 1))
+        umax_b = np.stack([np.full((ph, 4), cap) for cap in caps])
+        c.set_instance_bounds(input=(umin_b, umax_b))
+
+        fleet = LMPCFleet(c, mesh_lib.make_mesh(data=8))
+        res_f, stats = fleet.optimize(np.zeros((B, 12)), np.zeros((B, 4)))
+        res_p = c.optimize(np.zeros((B, 12)), np.zeros((B, 4)))
+        assert np.allclose(np.asarray(res_f.cmd), np.asarray(res_p.cmd), atol=1e-8)
+        assert int(stats.n_success) == B
