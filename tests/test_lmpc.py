@@ -493,3 +493,30 @@ class TestPerInstanceBounds:
         res_p = c.optimize(np.zeros((B, 12)), np.zeros((B, 4)))
         assert np.allclose(np.asarray(res_f.cmd), np.asarray(res_p.cmd), atol=1e-8)
         assert int(stats.n_success) == B
+
+
+class TestSetConstraintsPerIndex:
+    def test_combined_per_index_setter(self):
+        """setConstraints(index, ...) combined box setter
+        (reference: include/mpc/LMPC.hpp:328-340)."""
+        c = LMPC(2, 1, 0, 2, 5, 5)
+        assert c.set_constraints(
+            2,
+            np.full(2, -1.0), np.full(1, -2.0), np.full(2, -3.0),
+            np.full(2, 1.0), np.full(1, 2.0), np.full(2, 3.0),
+        )
+        # out-of-range index refused
+        assert not c.set_constraints(
+            5,
+            np.full(2, -1.0), np.full(1, -2.0), np.full(2, -3.0),
+            np.full(2, 1.0), np.full(1, 2.0), np.full(2, 3.0),
+        )
+        prob = c._prob
+        assert np.allclose(np.asarray(prob.min_x)[3], -1.0)
+        assert np.allclose(np.asarray(prob.max_x)[3], 1.0)
+        assert np.allclose(np.asarray(prob.min_u)[2], -2.0)
+        assert np.allclose(np.asarray(prob.max_u)[2], 2.0)
+        assert np.allclose(np.asarray(prob.min_y)[3], -3.0)
+        assert np.allclose(np.asarray(prob.max_y)[3], 3.0)
+        # other steps untouched
+        assert np.isinf(np.asarray(prob.min_x)[1]).all()

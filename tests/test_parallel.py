@@ -122,3 +122,31 @@ class TestNLMPCFleet:
         _, stats = fleet.optimize(np.zeros((8, 2)), np.zeros((8, 1)))
         text = str(stats)
         assert "SUCCESS" in text and "instances: 8" in text
+
+
+class TestFleetRuntimeParams:
+    def test_nlmpc_fleet_batched_params(self, mesh8):
+        """Per-instance runtime params shard over the data axis in fleets."""
+        c = make_vdp_controller()
+
+        # per-instance input cap through the runtime-params channel
+        def ineq(X, Y, U, e, p):
+            return U[:, 0] - p["cap"]
+
+        assert c.set_ineq_con_function(ineq)
+        # unconstrained first command is ~0.098 from this state, so the low
+        # caps genuinely bind and the high ones do not
+        caps = jnp.asarray(np.linspace(0.01, 0.2, 8))
+        c.set_runtime_params({"cap": caps}, batched=True)
+
+        fleet = NLMPCFleet(c, mesh8)
+        res, stats = fleet.optimize(
+            np.tile(np.array([[0.0, 1.0]]), (8, 1)), np.zeros((8, 1))
+        )
+        cmds = np.asarray(res.cmd)[:, 0]
+        # every instance respects its own cap
+        assert np.all(cmds <= np.asarray(caps) + 1e-6)
+        # the tightest cap binds (command pinned at it), the loosest doesn't
+        assert abs(cmds[0] - 0.01) < 1e-6
+        assert cmds[-1] < 0.2 - 1e-3
+        assert int(stats.n_total) == 8
