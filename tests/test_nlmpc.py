@@ -328,3 +328,50 @@ class TestUserEqualityEndToEnd:
         assert bool(res.is_feasible)
         assert abs(np.asarray(seq.state)[-1, 0] - 0.3) < 1e-6
         assert np.asarray(seq.input)[:ph].max() <= 2.0 + 1e-8
+
+
+NLMPC_SWEEP = [
+    # (nx, nu, ny, ph, ch, ineq, eq) mirroring test/NLMPC/test_nlmpc.cpp:11-17
+    (1, 1, 1, 1, 1, 0, 0),
+    (5, 1, 1, 1, 1, 0, 0),
+    (5, 3, 1, 1, 1, 0, 0),
+    (5, 3, 1, 7, 1, 0, 0),
+    (5, 3, 1, 7, 4, 4, 2),
+    (5, 3, 1, 7, 7, 10, 5),
+]
+
+
+@pytest.mark.parametrize("nx,nu,ny,ph,ch,ineq,eq", NLMPC_SWEEP)
+class TestNLMPCInterface:
+    """Setter contracts across the dimension sweep (test/NLMPC/test_nlmpc.cpp)."""
+
+    def test_setters(self, nx, nu, ny, ph, ch, ineq, eq):
+        c = NLMPC(nx, nu, ny, ph, ch, ineq, eq)
+        assert c.set_discretization_sampling_time(0.1)
+        assert c.set_state_space_function(lambda x, u, k: x)
+        assert c.set_output_function(lambda x, u, k: jnp.zeros(ny))
+        assert c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2))
+        if ineq > 0:
+            assert c.set_ineq_con_function(
+                lambda X, Y, U, e: jnp.zeros(ineq)
+            )
+        else:
+            assert not c.set_ineq_con_function(lambda X, Y, U, e: jnp.zeros(0))
+        if eq > 0:
+            assert c.set_eq_con_function(lambda X, U: jnp.zeros(eq))
+        else:
+            assert not c.set_eq_con_function(lambda X, U: jnp.zeros(0))
+        # bounds: matrix, full-slice, sub-slice forms
+        assert c.set_state_bounds(np.full((nx, ph), -1.0), np.full((nx, ph), 1.0))
+        assert c.set_input_bounds(np.full((nu, ch), -1.0), np.full((nu, ch), 1.0))
+        assert c.set_state_bounds(np.full(nx, -2.0), np.full(nx, 2.0), HorizonSlice.all())
+        assert c.set_input_bounds(np.full(nu, -2.0), np.full(nu, 2.0), HorizonSlice.all())
+        assert c.set_state_bounds(np.full(nx, -2.0), np.full(nx, 2.0), HorizonSlice(0, 1))
+        assert not c.set_state_bounds(
+            np.full(nx, -2.0), np.full(nx, 2.0), HorizonSlice(0, ph + 1)
+        )
+        with pytest.raises(RuntimeError):
+            c.set_output_bounds(np.full(ny, -1.0), np.full(ny, 1.0))
+        # scaling setters accepted
+        c.set_input_scale(np.ones(nu))
+        c.set_state_scale(np.ones(nx))
