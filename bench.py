@@ -9,6 +9,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N/10000, ...}
 """
 
+import os
+
+if os.environ.get("LIBMPC_PLATFORM"):
+    # the axon sitecustomize registers the TPU backend in every process and
+    # wins over JAX_PLATFORMS; only a config-level override forces CPU
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["LIBMPC_PLATFORM"])
+
 import json
 import sys
 import time

@@ -25,16 +25,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # of the ~16MB/core
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024  # of the ~16MB/core
 
 
 def _tile_bytes(bt: int, n: int, m: int) -> int:
     # input blocks (x,z,y,done,q,l,u) + output blocks (x,z,y), all
     # double-buffered by the pipeline, plus shared operands (A, M, Minv, rho)
+    # and the iteration body's live intermediates (rhs/xt/zt/z_unc ~ 2n+3m).
+    # The 8MB budget leaves headroom for Mosaic's own scratch: tile 256 was
+    # observed to blow the 16MB scoped limit at large grids despite a
+    # 13MB-budget estimate.
     words_in = bt * (2 * n + 4 * m + 1)
     words_out = bt * (n + 2 * m)
+    words_body = bt * (2 * n + 3 * m)
     words_shared = m * n + 2 * n * n + m
-    return 4 * (2 * (words_in + words_out) + words_shared)
+    return 4 * (2 * (words_in + words_out) + words_body + words_shared)
 
 
 def _pick_tile(B: int, n: int, m: int) -> int:

@@ -10,6 +10,15 @@ the harness rather than the interconnect.
 Usage:  python misc/scaling_bench.py [--per-device 512] [--steps 5]
 """
 
+import os
+
+if os.environ.get("LIBMPC_PLATFORM"):
+    # the axon sitecustomize registers the TPU backend in every process and
+    # wins over JAX_PLATFORMS; only a config-level override forces CPU
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["LIBMPC_PLATFORM"])
+
 import argparse
 import json
 import os

@@ -1,0 +1,50 @@
+"""Smoke tests for the measurement harnesses so they don't rot."""
+
+import json
+import subprocess
+import sys
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestScalingBench:
+    def test_runs_and_reports(self, tmp_path):
+        env = dict(os.environ)
+        env["LIBMPC_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "misc", "scaling_bench.py"),
+             "--per-device", "4", "--steps", "1"],
+            capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        last = out.stdout.strip().splitlines()[-1]
+        data = json.loads(last)
+        assert data["platform"] == "cpu"
+        assert [r["devices"] for r in data["scaling"]] == [1, 2]
+        assert data["scaling"][0]["efficiency"] == 1.0
+
+
+class TestBenchScript:
+    def test_bench_emits_one_json_line(self):
+        """bench.py must print exactly one JSON line with the driver's
+        contract keys (runs on CPU with a tiny batch)."""
+        env = dict(os.environ)
+        env["LIBMPC_PLATFORM"] = "cpu"
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "8"],
+            capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        assert len(lines) == 1
+        data = json.loads(lines[0])
+        for key in ("metric", "value", "unit", "vs_baseline"):
+            assert key in data
+        assert data["unit"] == "solves/s"
+        assert data["value"] > 0
