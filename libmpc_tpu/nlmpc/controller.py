@@ -102,6 +102,7 @@ class NLMPC:
         self._profiler = Profiler()
         self._runtime_params = ()  # traced per-solve parameter pytree
         self._runtime_params_batched = False
+        self._instance_bounds = None  # optional (B, nz) lb/ub override pair
         self._solve_fn = None  # compiled closure, invalidated by setters
 
     # ------------------------------------------------------------------
@@ -136,6 +137,46 @@ class NLMPC:
         else:
             self._lb[-1] = 0.0
             self._ub[-1] = np.inf
+
+    def set_instance_bounds(self, state=None, input=None) -> bool:
+        """Per-instance hard box bounds for batched/fleet solves.
+
+        ``state``/``input`` are optional ``(min, max)`` pairs of batched
+        time-major arrays: state ``(B, ph, nx)`` (bounds on the decision
+        states x_1..x_ph), input ``(B, ch, nu)`` (bounds on the blocked
+        moves).  Unspecified parts inherit the shared bounds.  Packing
+        matches the reference's decision layout
+        (NLOptimizer.hpp:346-404); call with no arguments to clear.
+        """
+        if state is None and input is None:
+            self._instance_bounds = None
+            self._invalidate()
+            return True
+        dims = self.dims
+        # determine the batch size from whichever pair is given
+        ref = state if state is not None else input
+        B = np.asarray(ref[0]).shape[0]
+        lb = np.broadcast_to(self._lb, (B, dims.nz)).copy()
+        ub = np.broadcast_to(self._ub, (B, dims.nz)).copy()
+        if state is not None:
+            mn, mx = (np.asarray(v, float) for v in state)
+            if mn.shape[1:] != (dims.ph, dims.nx):
+                raise ValueError(f"state bounds must be (B, {dims.ph}, {dims.nx})")
+            lb[:, : dims.ph * dims.nx] = mn.reshape(B, -1)
+            ub[:, : dims.ph * dims.nx] = mx.reshape(B, -1)
+        if input is not None:
+            mn, mx = (np.asarray(v, float) for v in input)
+            if mn.shape[1:] != (dims.ch, dims.nu):
+                raise ValueError(f"input bounds must be (B, {dims.ch}, {dims.nu})")
+            off = dims.ph * dims.nx
+            lb[:, off : off + dims.ch * dims.nu] = mn.reshape(B, -1)
+            ub[:, off : off + dims.ch * dims.nu] = mx.reshape(B, -1)
+        self._instance_bounds = (
+            jnp.asarray(lb, self.dtype),
+            jnp.asarray(ub, self.dtype),
+        )
+        self._invalidate()
+        return True
 
     def set_runtime_params(self, params, batched: bool = False) -> None:
         """Set the runtime-parameter pytree passed (traced) to callbacks that
@@ -277,8 +318,6 @@ class NLMPC:
         fns = self._fns
         ss, us = self._state_scaling, self._input_scaling
         params = self._params
-        lb = jnp.asarray(self._lb, self.dtype)
-        ub = jnp.asarray(self._ub, self.dtype)
         ineq_tol = self._ineq_tol
         eq_tol = self._eq_tol
 
@@ -288,7 +327,7 @@ class NLMPC:
                 "function before optimize()"
             )
 
-        def solve_one(z_prev, use_prev, x0, u0, slack0, p):
+        def solve_one(z_prev, use_prev, x0, u0, slack0, p, lb, ub):
             guess = nlp.initial_guess(dims, x0, u0, slack0, self.dtype)
             z = jnp.where(use_prev, z_prev, guess)
             z = nlp.fix_bounds(z, lb, ub)
@@ -343,19 +382,31 @@ class NLMPC:
         )
         return result, seq
 
+    def _bounds_args(self):
+        """(lb, ub, batched?) for the current configuration."""
+        if self._instance_bounds is not None:
+            lb, ub = self._instance_bounds
+            return lb, ub, True
+        return (
+            jnp.asarray(self._lb, self.dtype),
+            jnp.asarray(self._ub, self.dtype),
+            False,
+        )
+
     def _build_solve_fn(self):
         solve_one = self._make_solve_one()
         p_axis = 0 if self._runtime_params_batched else None
+        b_axis = 0 if self._instance_bounds is not None else None
 
         @jax.jit
-        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p):
+        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub):
             batched = x0.ndim == 2
             fn = (
-                jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, p_axis))
+                jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis))
                 if batched
                 else solve_one
             )
-            sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0, p)
+            sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0, p, lb, ub)
             result, seq = self._pack_result(sol, X, U, Y, feas, prev_cmd)
             return result, seq, sol.z, slack, sol.iters
 
@@ -394,9 +445,10 @@ class NLMPC:
         )
 
         self._profiler.solution_start()
+        lb, ub, _ = self._bounds_args()
         result, seq, z_out, slack, iters = self._solve_fn(
             z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
-            self._runtime_params,
+            self._runtime_params, lb, ub,
         )
         jax.block_until_ready(result.cmd)
         # populate the host-side status message like the reference's

@@ -212,11 +212,14 @@ class NLMPCFleet:
 
         p_axis = 0 if c._runtime_params_batched else None
         p_spec = P(axis) if c._runtime_params_batched else P()
+        b_batched = c._instance_bounds is not None
+        b_axis = 0 if b_batched else None
+        b_spec = P(axis) if b_batched else P()
 
-        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd, p):
+        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub):
             sol, X, U, Y, slack, feas = jax.vmap(
-                solve_one, in_axes=(0, None, 0, 0, 0, p_axis)
-            )(z_prev, use_prev, x0, u0, slack0, p)
+                solve_one, in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis)
+            )(z_prev, use_prev, x0, u0, slack0, p, lb, ub)
             result, seq = c._pack_result(sol, X, U, Y, feas, prev_cmd)
             stats = _local_stats(result.status, sol.iters, axis)
             return result, seq, sol.z, slack, stats
@@ -224,7 +227,8 @@ class NLMPCFleet:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), p_spec),
+            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), p_spec,
+                      b_spec, b_spec),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             check_vma=False,
         )
@@ -255,9 +259,10 @@ class NLMPCFleet:
         )
         prev_cmd = jnp.zeros((B, c.dims.nu), c.dtype)
 
+        lb, ub, _ = c._bounds_args()
         result, seq, z_out, slack, stats = self._step_fn(
             z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
-            c._runtime_params,
+            c._runtime_params, lb, ub,
         )
         self._opt_vector, self._slack = z_out, slack
         return result, stats

@@ -89,19 +89,24 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> R
     batch = x0.shape[:-1]
     solve_one = c._make_solve_one()
     rt = c._runtime_params
+    lb, ub, b_batched = c._bounds_args()
+    p_axis = 0 if c._runtime_params_batched else None
+    b_axis = 0 if b_batched else None
 
     solve = (
-        jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, None)) if batch else solve_one
+        jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis))
+        if batch
+        else solve_one
     )
 
     @jax.jit
-    def run(x0, u0, p):
+    def run(x0, u0, p, lb, ub):
         z0 = jnp.zeros(batch + (dims.nz,), c.dtype)
         slack0 = jnp.zeros(batch, c.dtype)
 
         def step(carry, k):
             x, u, z, slack, hw = carry
-            sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, p)
+            sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, p, lb, ub)
             result, seq = c._pack_result(sol, X, U, Y, feas, u)
             x_next = plant_fn(x, result.cmd, k)
             out = (x, result.cmd, result.cost, result.status, sol.iters)
@@ -112,7 +117,7 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> R
         )
         return x_fin, xs, us, costs, sts, its
 
-    x_fin, xs, us, costs, sts, its = run(x0, last_u, rt)
+    x_fin, xs, us, costs, sts, its = run(x0, last_u, rt, lb, ub)
     return _pack(x_fin, xs, us, costs, sts, its, batch)
 
 

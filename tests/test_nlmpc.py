@@ -375,3 +375,45 @@ class TestNLMPCInterface:
         # scaling setters accepted
         c.set_input_scale(np.ones(nu))
         c.set_state_scale(np.ones(nx))
+
+
+class TestPerInstanceHardBounds:
+    def test_batched_input_bounds_bind_per_instance(self):
+        """set_instance_bounds gives each instance its own hard input box."""
+        ph, ch = 10, 5
+        caps = np.array([0.01, 0.05, 0.2])
+        B = len(caps)
+
+        def build():
+            c = NLMPC(2, 1, 2, ph, ch, 0, 0)
+            c.set_discretization_sampling_time(0.1)
+            c.set_state_space_function(vdp_continuous)
+            c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+            c.set_optimizer_parameters(NLParameters(maximum_iteration=60))
+            return c
+
+        c = build()
+        umin = np.full((B, ch, 1), -5.0)
+        umax = np.stack([np.full((ch, 1), cap) for cap in caps])
+        assert c.set_instance_bounds(input=(umin, umax))
+        x0 = np.tile(np.array([[0.0, 1.0]]), (B, 1))
+        res = c.optimize(x0, np.zeros((B, 1)))
+        cmds = np.asarray(res.cmd)[:, 0]
+        assert np.all(cmds <= caps + 1e-7)
+        # each batched instance matches a per-instance controller with the
+        # same shared bounds
+        for i, cap in enumerate(caps):
+            ci = build()
+            ci.set_input_bounds(np.full(1, -5.0), np.full(1, cap), HorizonSlice.all())
+            ri = ci.optimize(x0[i], np.zeros(1))
+            assert np.allclose(cmds[i], np.asarray(ri.cmd)[0], atol=1e-6), (i, cap)
+
+    def test_clear_instance_bounds(self):
+        c = NLMPC(2, 1, 2, 4, 4, 0, 0)
+        c.set_state_space_function(lambda x, u, k: x)
+        c.set_objective_function(lambda X, Y, U, e: jnp.sum(U**2))
+        assert c.set_instance_bounds(input=(np.full((2, 4, 1), -1.0),
+                                            np.full((2, 4, 1), 1.0)))
+        assert c._instance_bounds is not None
+        assert c.set_instance_bounds()
+        assert c._instance_bounds is None
