@@ -423,6 +423,13 @@ class NLMPC:
         x0 = jnp.asarray(x0, self.dtype)
         last_u = jnp.asarray(last_u, self.dtype)
         batch = x0.shape[:-1]
+        if self._instance_bounds is not None:
+            B = self._instance_bounds[0].shape[0]
+            if batch != (B,):
+                raise ValueError(
+                    f"per-instance bounds are set for batch {B}; optimize() "
+                    f"got batch shape {batch}"
+                )
 
         use_prev = (
             not self._first_iteration
