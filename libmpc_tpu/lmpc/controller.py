@@ -612,6 +612,12 @@ class LMPC:
         self._result, self._sequence = result, seq
         self._last_iters = iters
         self._profiler.solution_end(result)
+        if self._params.verbose:
+            # the OSQP-verbose analog: per-solve iteration summary
+            it = np.asarray(iters)
+            Logger.instance().info(
+                f"ADMM iterations: mean {it.mean():.1f}, max {int(it.max())}"
+            )
         Logger.instance().info(
             f"Optimization step completed, status: {np.asarray(result.status)}"
         )

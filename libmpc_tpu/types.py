@@ -73,7 +73,13 @@ class ConstraintsType(enum.IntEnum):
 
 @dataclasses.dataclass(frozen=True)
 class Parameters:
-    """Shared optimizer parameters (reference: include/mpc/Types.hpp:99-115)."""
+    """Shared optimizer parameters (reference: include/mpc/Types.hpp:99-115).
+
+    ``time_limit`` is accepted for surface parity but not enforced: compiled
+    device programs cannot consult a wall clock mid-solve, so the iteration
+    budget (``maximum_iteration``) is the only in-solve stopping resource.
+    Callers needing a hard deadline should bound iterations accordingly.
+    """
 
     maximum_iteration: int = 100
     time_limit: float = 0.0
