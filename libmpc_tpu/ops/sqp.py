@@ -198,12 +198,22 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         # -- convexified exact Hessian --------------------------------------
         H = hess_L(s.z, s.lam_e, s.lam_i)
         H = 0.5 * (H + H.T)
-        w, V = jnp.linalg.eigh(H)
-        # clip eigenvalues to a 1e-6-relative floor: keeps the QP subproblem
-        # conditioned well enough for the ADMM inner solver while barely
-        # biasing the Newton direction
-        tau = jnp.maximum(1e-8, 1e-6 * jnp.max(jnp.abs(w)))
-        B = (V * jnp.maximum(w, tau)[None, :]) @ V.T
+        if params.hessian_reg == "gershgorin":
+            # shift by a Gershgorin bound: tau >= -lambda_min guarantees PSD
+            # without an eigendecomposition; more conservative when H is
+            # indefinite
+            diag = jnp.diagonal(H)
+            radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+            gersh_lo = jnp.min(diag - radius)
+            scale = jnp.max(diag + radius)
+            tau = jnp.maximum(-gersh_lo, 0.0) + jnp.maximum(1e-6 * scale, 1e-8)
+            B = H + tau * jnp.eye(nz, dtype=dtype)
+        else:
+            # clip eigenvalues to a 1e-6-relative floor: the tightest convex
+            # model of H (costs an eigh per iteration)
+            w, V = jnp.linalg.eigh(H)
+            tau = jnp.maximum(1e-8, 1e-6 * jnp.max(jnp.abs(w)))
+            B = (V * jnp.maximum(w, tau)[None, :]) @ V.T
 
         # -- QP subproblem:  min 1/2 d'Bd + g'd
         #    s.t. Je d = -ce ; Ji d <= -ci ; lb-z <= d <= ub-z ---------------

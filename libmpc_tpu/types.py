@@ -120,13 +120,21 @@ class LParameters(Parameters):
 
 @dataclasses.dataclass(frozen=True)
 class NLParameters(Parameters):
-    """SQP parameters (reference: include/mpc/Types.hpp:121-140)."""
+    """SQP parameters (reference: include/mpc/Types.hpp:121-140).
+
+    ``hessian_reg`` (TPU-native extension) selects how the exact Lagrangian
+    Hessian is convexified for the QP subproblem: ``"eigh"`` clips
+    eigenvalues (tightest model, costs an eigendecomposition per iteration),
+    ``"gershgorin"`` shifts by a Gershgorin bound (cheap O(n^2), more
+    conservative when indefinite).
+    """
 
     relative_ftol: float = -1.0
     relative_xtol: float = -1.0
     absolute_ftol: float = -1.0
     absolute_xtol: float = -1.0
     hard_constraints: bool = True
+    hessian_reg: str = "eigh"
 
 
 @jax.tree_util.register_dataclass
