@@ -537,9 +537,15 @@ def _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask) -> QPSolution
     B, n = q.shape
     m = A.shape[0]
 
+    # rho_vec is shared across the batch (one shared KKT factorization), so
+    # per-instance structure must reduce conservatively over the batch: a row
+    # gets the fast equality rho only when it is an equality in EVERY
+    # instance, and the loose rho only when it is loose in EVERY instance.
+    # Mixed rows fall back to the ordinary rho — correct for all instances,
+    # merely less tuned (per-instance bounds via set_instance_bounds).
     if eq_mask is None:
-        eq_mask = (l[0] == u[0]) & jnp.isfinite(l[0])
-    loose_mask = (l[0] <= -INF_BOUND) & (u[0] >= INF_BOUND)
+        eq_mask = jnp.all((l == u) & jnp.isfinite(l), axis=0)
+    loose_mask = jnp.all((l <= -INF_BOUND) & (u >= INF_BOUND), axis=0)
 
     # -- scaling ----------------------------------------------------------
     if params.scaling_iters > 0:

@@ -100,6 +100,7 @@ class LMPCFleet:
         self.dims: LDims = controller.dims
         self._warm_x = None
         self._warm_y = None
+        self._prev_cmd = None  # hold-last-command state, carried across steps
         self._step_fn = None
         self._step_key = None
 
@@ -180,13 +181,21 @@ class LMPCFleet:
         )
         warm_x = self._warm_x if have_warm else jnp.zeros((B, self.dims.nz), c.dtype)
         warm_y = self._warm_y if have_warm else jnp.zeros((B, self.dims.m), c.dtype)
-        prev_cmd = jnp.zeros((B, self.dims.nu), c.dtype)
+        # hold-last-command across fleet steps: a failing instance keeps its
+        # previous command rather than snapping to zero, mirroring the
+        # single-controller path (reference: LOptimizer.hpp:349-361)
+        prev_cmd = (
+            self._prev_cmd
+            if self._prev_cmd is not None and self._prev_cmd.shape == (B, self.dims.nu)
+            else jnp.zeros((B, self.dims.nu), c.dtype)
+        )
 
         result, seq, sol_x, sol_y, stats = self._step_fn(
             c._prob, x0, last_u, y_ref, u_ref, du_ref, u_meas,
             warm_x, warm_y, jnp.asarray(have_warm), prev_cmd,
         )
         self._warm_x, self._warm_y = sol_x, sol_y
+        self._prev_cmd = result.cmd
         return result, stats
 
 
@@ -202,6 +211,7 @@ class NLMPCFleet:
         self.mesh = mesh
         self._opt_vector = None
         self._slack = None
+        self._prev_cmd = None  # hold-last-command state, carried across steps
         self._step_fn = None
 
     def _build(self):
@@ -257,7 +267,13 @@ class NLMPCFleet:
             self._slack if (use_prev and self._slack is not None)
             else jnp.zeros((B,), c.dtype)
         )
-        prev_cmd = jnp.zeros((B, c.dims.nu), c.dtype)
+        # hold-last-command across fleet steps (reference:
+        # NLOptimizer.hpp:613-624 keeps the previous command on failure)
+        prev_cmd = (
+            self._prev_cmd
+            if self._prev_cmd is not None and self._prev_cmd.shape == (B, c.dims.nu)
+            else jnp.zeros((B, c.dims.nu), c.dtype)
+        )
 
         lb, ub, _ = c._bounds_args()
         result, seq, z_out, slack, stats = self._step_fn(
@@ -265,4 +281,5 @@ class NLMPCFleet:
             c._runtime_params, lb, ub,
         )
         self._opt_vector, self._slack = z_out, slack
+        self._prev_cmd = result.cmd
         return result, stats

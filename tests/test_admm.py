@@ -101,6 +101,35 @@ class TestBatched:
             err = kkt_error(P, A, q[i], l[i], u[i], np.asarray(sol.x[i]), np.asarray(sol.y[i]))
             assert err < 1e-5
 
+    def test_mixed_loose_finite_rows_across_batch(self):
+        """A row loose in one instance but finite in another must not be
+        treated as loose for the whole batch: every instance still converges
+        at full rate and to the right KKT point (per-instance-bounds path)."""
+        rng = np.random.default_rng(21)
+        n, m, B = 6, 9, 4
+        P, A, q, l, u = random_qp(rng, n, m, batch=B)
+        # instance 0: rows 0..3 loose; other instances: finite everywhere
+        l = l.copy()
+        u = u.copy()
+        l[0, :4] = -np.inf
+        u[0, :4] = np.inf
+        sol = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(l), jnp.asarray(u), TIGHT)
+        assert np.all(np.asarray(sol.status) == admm.OSQP_SOLVED)
+        for i in range(B):
+            err = kkt_error(P, A, q[i], l[i], u[i],
+                            np.asarray(sol.x[i]), np.asarray(sol.y[i]))
+            assert err < 1e-5, f"instance {i} kkt error {err}"
+        # the mixed rows must not degrade convergence: solving instance 1..3
+        # alone (no loose rows anywhere) should take a comparable iteration
+        # count to solving them inside the mixed batch
+        solo = admm.admm_solve(jnp.asarray(P), jnp.asarray(A),
+                               jnp.asarray(q[1:]), jnp.asarray(l[1:]),
+                               jnp.asarray(u[1:]), TIGHT)
+        assert int(np.max(np.asarray(sol.iters)[1:])) <= 2 * int(
+            np.max(np.asarray(solo.iters))
+        ) + 50
+
     def test_heterogeneous_structure_via_vmap(self):
         rng = np.random.default_rng(11)
         n, m, B = 4, 6, 3

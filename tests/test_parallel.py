@@ -124,6 +124,55 @@ class TestNLMPCFleet:
         assert "SUCCESS" in text and "instances: 8" in text
 
 
+class TestFleetFailureSemantics:
+    """A failing fleet instance must hold its previous command, exactly like
+    the single-controller path (reference: LOptimizer.hpp:349-361,
+    NLOptimizer.hpp:613-624)."""
+
+    def test_lmpc_fleet_holds_last_command(self, mesh8):
+        c = make_quadrotor_controller()
+        fleet = LMPCFleet(c, mesh8)
+        rng = np.random.default_rng(5)
+        B = 8
+        x = 0.02 * rng.normal(size=(B, 12))
+        u = np.zeros((B, 4))
+        res, _ = fleet.optimize(x, u)
+        good_cmd = np.asarray(res.cmd).copy()
+        assert np.all(np.isfinite(good_cmd))
+        # instance 3's state estimate fails (NaN) on the next step: the
+        # solver cannot produce a valid solution for it
+        x_bad = x.copy()
+        x_bad[3] = np.nan
+        res2, _ = fleet.optimize(x_bad, np.asarray(res.cmd))
+        cmd2 = np.asarray(res2.cmd)
+        # failed instance held its previous command...
+        assert np.allclose(cmd2[3], good_cmd[3], atol=1e-12)
+        from libmpc_tpu.types import ResultStatus
+        assert int(np.asarray(res2.status)[3]) == int(ResultStatus.ERROR)
+        # ...while the healthy instances keep solving normally
+        ok = [i for i in range(B) if i != 3]
+        assert np.all(np.isfinite(cmd2[ok]))
+        assert np.all(np.asarray(res2.status)[ok] == int(ResultStatus.SUCCESS))
+
+    def test_nlmpc_fleet_holds_last_command(self, mesh8):
+        c = make_vdp_controller()
+        fleet = NLMPCFleet(c, mesh8)
+        rng = np.random.default_rng(6)
+        B = 8
+        x = rng.uniform(-0.5, 0.5, size=(B, 2))
+        u = np.zeros((B, 1))
+        res, _ = fleet.optimize(x, u)
+        good_cmd = np.asarray(res.cmd).copy()
+        assert np.all(np.isfinite(good_cmd))
+        x_bad = x.copy()
+        x_bad[5] = np.nan
+        res2, _ = fleet.optimize(x_bad, np.asarray(res.cmd))
+        cmd2 = np.asarray(res2.cmd)
+        assert np.allclose(cmd2[5], good_cmd[5], atol=1e-12)
+        ok = [i for i in range(B) if i != 5]
+        assert np.all(np.isfinite(cmd2[ok]))
+
+
 class TestFleetRuntimeParams:
     def test_nlmpc_fleet_batched_params(self, mesh8):
         """Per-instance runtime params shard over the data axis in fleets."""
