@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time as _time
 from typing import Optional
 
 import jax
@@ -32,6 +33,7 @@ from ..types import (
     ResultStatus,
     default_dtype,
 )
+from ..utils import deadline
 from ..utils.logger import Logger, LogLevel
 from ..utils.profiler import Profiler, SolutionStats
 from . import problem as qp
@@ -47,6 +49,9 @@ def _status_from_osqp(code):
         (admm.OSQP_SOLVED_INACCURATE, ResultStatus.SUCCESS),
         (admm.OSQP_PRIMAL_INFEASIBLE_INACCURATE, ResultStatus.SUCCESS),
         (admm.OSQP_DUAL_INFEASIBLE_INACCURATE, ResultStatus.SUCCESS),
+        (admm.OSQP_TIME_LIMIT_REACHED, ResultStatus.UNKNOWN),
+        (admm.OSQP_SIGINT, ResultStatus.ERROR),
+        (admm.OSQP_NON_CVX, ResultStatus.ERROR),
     ]
     out = jnp.full(code.shape, int(ResultStatus.UNKNOWN), jnp.int32)
     for osqp_code, rs in table:
@@ -68,8 +73,16 @@ def solve_body(
     warm_y,
     have_warm,
     prev_cmd,
+    iter_budget=None,
+    built=None,
 ):
     """One batched control-step solve: assemble QP -> ADMM -> unpack.
+
+    ``built`` is the optional time-invariant cache from
+    :func:`build_prepared` — (P, A, lineq, uineq, PreparedQP) — hoisting
+    assembly + Ruiz + KKT factorization out of the hot path (SURVEY §3.2);
+    when absent everything is rebuilt inline (the reference's per-step
+    osqp_setup behavior, LOptimizer.hpp:261).
 
     Assembly and unpack matmuls run at highest precision to match the
     solver's accuracy (TPU matmuls default to bf16 otherwise).
@@ -77,21 +90,53 @@ def solve_body(
     with jax.default_matmul_precision("highest"):
         return _solve_body_hp(
             dims, params, prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
-            warm_x, warm_y, have_warm, prev_cmd,
+            warm_x, warm_y, have_warm, prev_cmd, iter_budget, built,
         )
+
+
+def build_prepared(dims, params, prob, y_ref, u_ref, du_ref, u_meas):
+    """Time-invariant solver state: QP matrices + scaling + KKT inverse.
+
+    Computed once per configuration change and reused across control steps
+    (OSQP's setup-once semantics; the cost scaling uses the q implied by the
+    references *at preparation time*, exactly like osqp_setup followed by
+    osqp_update_lin_cost keeps the setup-time scaling).
+    """
+    with jax.default_matmul_precision("highest"):
+        P, A, lineq, uineq = qp.build_time_invariant(dims, prob)
+        eq_mask = jnp.arange(dims.m) < dims.n_eq
+        loose_ineq = (lineq <= -admm.INF_BOUND) & (uineq >= admm.INF_BOUND)
+        loose_ineq = jnp.all(
+            loose_ineq.reshape((-1, lineq.shape[-1])), axis=0
+        )
+        loose_mask = jnp.concatenate(
+            [jnp.zeros((dims.n_eq,), bool), loose_ineq]
+        )
+        q, _, _ = qp.build_time_varying(
+            dims, prob, lineq, uineq,
+            jnp.zeros((dims.nx,), P.dtype), jnp.zeros((dims.nu,), P.dtype),
+            y_ref, u_ref, du_ref, u_meas,
+        )
+        q_ref = jnp.max(jnp.abs(q.reshape((-1, dims.nz))), axis=0)
+        prep = admm.prepare_qp(P, A, q_ref, eq_mask, loose_mask, params)
+        return P, A, lineq, uineq, prep
+
+
+_prepare_kernel = functools.partial(jax.jit, static_argnames=("dims", "params"))(
+    build_prepared
+)
 
 
 def _solve_body_hp(
     dims, params, prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
-    warm_x, warm_y, have_warm, prev_cmd,
+    warm_x, warm_y, have_warm, prev_cmd, iter_budget=None, built=None,
 ):
-    P, A, lineq, uineq = qp.build_time_invariant(dims, prob)
+    if built is None:
+        built = build_prepared(dims, params, prob, y_ref, u_ref, du_ref, u_meas)
+    P, A, lineq, uineq, prep = built
     q, l, u = qp.build_time_varying(
         dims, prob, lineq, uineq, x0, u0, y_ref, u_ref, du_ref, u_meas
     )
-
-    # structural equality mask: the first n_eq rows are the dynamics
-    eq_mask = jnp.arange(dims.m) < dims.n_eq
 
     use_warm = params.enable_warm_start
     sol = admm.admm_solve(
@@ -103,7 +148,8 @@ def _solve_body_hp(
         params=params,
         warm_x=jnp.where(have_warm, warm_x, 0.0) if use_warm else None,
         warm_y=jnp.where(have_warm, warm_y, 0.0) if use_warm else None,
-        eq_mask=eq_mask,
+        iter_budget=iter_budget,
+        prepared=prep,
     )
 
     states, inputs, outputs = qp.unpack_solution(dims, prob, sol.x, u_meas)
@@ -195,6 +241,15 @@ class LMPC:
         )
         self._profiler = Profiler()
         self._last_iters = None
+        # time_limit support: measured-cost iteration budget
+        # (reference: Types.hpp:108-110 -> OSQP settings->time_limit)
+        self._budgeter = deadline.IterationBudgeter()
+        self._budget_key = None  # batch shape the calibration belongs to
+        # time-invariant cache (P/A/bounds/scaling/KKT inverse), invalidated
+        # whenever the problem pytree or parameters change
+        self._built = None
+        self._built_prob = None
+        self._built_params = None
 
     # ------------------------------------------------------------------
     # configuration surface (parity with LMPC.hpp setters)
@@ -222,6 +277,8 @@ class LMPC:
     def set_optimizer_parameters(self, params: LParameters) -> None:
         if not isinstance(params, LParameters):
             raise TypeError("LMPC expects LParameters")
+        if params != self._params:
+            self._budgeter.reset()  # new compiled program -> new calibration
         self._params = params
 
     def set_state_space_model(self, A, B, C) -> bool:
@@ -591,7 +648,17 @@ class LMPC:
             for name, arr in (("P", P), ("A", A), ("q", qv), ("l", lv), ("u", uv)):
                 log.detail(f"{name} = {np.array2string(np.asarray(arr), threshold=50)}")
 
+        # time_limit -> traced iteration budget (measured per-iteration cost;
+        # calibration restarts when the compiled program changes)
+        if self._budget_key != batch:
+            self._budgeter.reset()
+            self._budget_key = batch
+        iter_budget = self._budgeter.budget(self._params.time_limit)
+
+        self._ensure_built()
+
         self._profiler.solution_start()
+        t0 = _time.monotonic()
         result, seq, sol_x, sol_y, iters = _solve_kernel(
             self.dims,
             self._params,
@@ -606,8 +673,13 @@ class LMPC:
             warm_y,
             jnp.asarray(have_warm),
             self._result.cmd if self._result.cmd.shape[:-1] == batch else jnp.zeros(batch + (self.dims.nu,), self.dtype),
+            jnp.asarray(iter_budget, jnp.int32),
+            self._built,
         )
         jax.block_until_ready(result.cmd)
+        self._budgeter.record(
+            _time.monotonic() - t0, int(np.max(np.asarray(iters)))
+        )
         self._warm_x, self._warm_y = sol_x, sol_y
         self._result, self._sequence = result, seq
         self._last_iters = iters
@@ -622,6 +694,20 @@ class LMPC:
             f"Optimization step completed, status: {np.asarray(result.status)}"
         )
         return result
+
+    def _ensure_built(self):
+        """Refresh the time-invariant cache (P/A/bounds/scaling/KKT inverse).
+
+        Every setter replaces the problem pytree, so object identity is an
+        exact cache key (SURVEY §3.2: "keeping P/A static on-device")."""
+        if self._built_prob is not self._prob or self._built_params != self._params:
+            self._built = _prepare_kernel(
+                self.dims, self._params, self._prob,
+                self._y_ref, self._u_ref, self._du_ref, self._u_meas,
+            )
+            self._built_prob = self._prob
+            self._built_params = self._params
+        return self._built
 
     def get_last_result(self) -> Result:
         return self._result

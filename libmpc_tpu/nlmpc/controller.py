@@ -14,6 +14,7 @@ the SQP (including its inner ADMM QPs) is vmapped across the fleet.
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from typing import Callable, Optional
 
 import jax
@@ -30,6 +31,7 @@ from ..types import (
     ResultStatus,
     default_dtype,
 )
+from ..utils import deadline
 from ..utils.logger import Logger, LogLevel
 from ..utils.profiler import Profiler, SolutionStats
 from . import problem as nlp
@@ -100,6 +102,10 @@ class NLMPC:
             input=jnp.zeros((ph + 1, nu), self.dtype),
         )
         self._profiler = Profiler()
+        # time_limit support: measured-cost iteration budget
+        # (reference: NLMPC.hpp:142-144 -> nlopt set_maxtime)
+        self._budgeter = deadline.IterationBudgeter()
+        self._budget_key = None
         self._runtime_params = ()  # traced per-solve parameter pytree
         self._runtime_params_batched = False
         self._instance_bounds = None  # optional (B, nz) lb/ub override pair
@@ -309,6 +315,7 @@ class NLMPC:
     # ------------------------------------------------------------------
     def _invalidate(self):
         self._solve_fn = None
+        self._budgeter.reset()  # new compiled program -> new calibration
 
     def _make_solve_one(self):
         """Single-instance solve closure (z_prev, use_prev, x0, u0, slack0)
@@ -327,7 +334,8 @@ class NLMPC:
                 "function before optimize()"
             )
 
-        def solve_one(z_prev, use_prev, x0, u0, slack0, p, lb, ub):
+        def solve_one(z_prev, use_prev, x0, u0, slack0, p, lb, ub,
+                      iter_budget=None):
             guess = nlp.initial_guess(dims, x0, u0, slack0, self.dtype)
             z = jnp.where(use_prev, z_prev, guess)
             z = nlp.fix_bounds(z, lb, ub)
@@ -345,7 +353,10 @@ class NLMPC:
                 else None
             )
 
-            sol = sqp.sqp_solve(f_fn, ceq_fn, cin_fn, z, lb, ub, params)
+            sol = sqp.sqp_solve(
+                f_fn, ceq_fn, cin_fn, z, lb, ub, params,
+                iter_budget=iter_budget,
+            )
 
             X, U, slack = nlp.unwrap(dims, sol.z, x0, ss, us)
             Y = nlp.get_output(dims, fns, X, U, p)
@@ -399,14 +410,20 @@ class NLMPC:
         b_axis = 0 if self._instance_bounds is not None else None
 
         @jax.jit
-        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub):
+        def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub,
+                  iter_budget):
             batched = x0.ndim == 2
             fn = (
-                jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis))
+                jax.vmap(
+                    solve_one,
+                    in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis, None),
+                )
                 if batched
                 else solve_one
             )
-            sol, X, U, Y, slack, feas = fn(z_prev, use_prev, x0, u0, slack0, p, lb, ub)
+            sol, X, U, Y, slack, feas = fn(
+                z_prev, use_prev, x0, u0, slack0, p, lb, ub, iter_budget
+            )
             result, seq = self._pack_result(sol, X, U, Y, feas, prev_cmd)
             return result, seq, sol.z, slack, sol.iters
 
@@ -451,13 +468,29 @@ class NLMPC:
             else jnp.zeros(batch + (self.dims.nu,), self.dtype)
         )
 
+        # time_limit -> traced iteration budget (measured per-iteration cost)
+        if self._budget_key != batch:
+            self._budgeter.reset()
+            self._budget_key = batch
+        iter_budget = self._budgeter.budget(self._params.time_limit)
+
+        # DETAIL-level dump of constraint values and exact Jacobians at the
+        # solve's entry point, mirroring the reference's per-evaluation dumps
+        # (reference: include/mpc/NLMPC/Constraints.hpp:294-313, :333-353)
+        if Logger.instance().level == LogLevel.DEEP and x0.ndim == 1:
+            self._dump_constraint_details(x0, last_u)
+
         self._profiler.solution_start()
+        t0 = _time.monotonic()
         lb, ub, _ = self._bounds_args()
         result, seq, z_out, slack, iters = self._solve_fn(
             z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
-            self._runtime_params, lb, ub,
+            self._runtime_params, lb, ub, jnp.asarray(iter_budget, jnp.int32),
         )
         jax.block_until_ready(result.cmd)
+        self._budgeter.record(
+            _time.monotonic() - t0, int(np.max(np.asarray(iters)))
+        )
         # populate the host-side status message like the reference's
         # exception reporting (NLOptimizer.hpp:550-571)
         status_val = int(np.max(np.asarray(result.status)))
@@ -475,7 +508,46 @@ class NLMPC:
         self._result, self._sequence = result, seq
         self._last_iters = iters
         self._profiler.solution_end(result)
+        if self._params.verbose:
+            it = np.asarray(iters)
+            Logger.instance().info(
+                f"SQP iterations: mean {it.mean():.1f}, max {int(it.max())}"
+            )
         return result
+
+    def _dump_constraint_details(self, x0, last_u) -> None:
+        """DETAIL dumps of defect/user-constraint values and their exact
+        Jacobians at the cold-start point (reference wording:
+        Constraints.hpp:294-313 for user ineq, :333-353 for state eq)."""
+        dims, fns = self.dims, self._fns
+        ss, us = self._state_scaling, self._input_scaling
+        p = self._runtime_params
+        z = nlp.initial_guess(dims, x0, last_u, jnp.asarray(0.0, self.dtype),
+                              self.dtype)
+        log = Logger.instance()
+        fmt = lambda a: np.array2string(
+            np.asarray(a), precision=10, threshold=200
+        )
+        defects = lambda zz: nlp.state_defects(dims, fns, ss, us, zz, x0, p)
+        log.detail(f"State equality constraints value:\n{fmt(defects(z))}")
+        log.detail(
+            "State equality constraints jacobian:\n"
+            f"{fmt(jax.jacfwd(defects)(z))}"
+        )
+        if fns.ineq_fn is not None:
+            ineq = lambda zz: nlp.user_ineq(dims, fns, ss, us, zz, x0, p)
+            log.detail(f"User inequality constraints value:\n{fmt(ineq(z))}")
+            log.detail(
+                "User inequality constraints jacobian:\n"
+                f"{fmt(jax.jacfwd(ineq)(z))}"
+            )
+        if fns.eq_fn is not None:
+            eq = lambda zz: nlp.user_eq(dims, fns, ss, us, zz, x0, p)
+            log.detail(f"User equality constraints value:\n{fmt(eq(z))}")
+            log.detail(
+                "User equality constraints jacobian:\n"
+                f"{fmt(jax.jacfwd(eq)(z))}"
+            )
 
     def get_last_result(self) -> Result:
         return self._result

@@ -48,7 +48,13 @@ OSQP_DUAL_INFEASIBLE_INACCURATE = 4
 OSQP_MAX_ITER_REACHED = -2
 OSQP_PRIMAL_INFEASIBLE = -3
 OSQP_DUAL_INFEASIBLE = -4
+OSQP_SIGINT = -5
+OSQP_TIME_LIMIT_REACHED = -6
+OSQP_NON_CVX = -7
 OSQP_UNSOLVED = -10
+
+# "no budget" sentinel for the traced iteration budget (time_limit support)
+NO_BUDGET = 2**31 - 1
 
 RHO_MIN = 1e-6
 RHO_MAX = 1e6
@@ -74,7 +80,35 @@ def _inf_norm(v, axis=-1):
     return jnp.max(jnp.abs(v), axis=axis)
 
 
-def _ruiz_equilibration(P, A, q_ref, iters: int):
+# -- distribution helpers ----------------------------------------------------
+# The kernel is written once and runs in three layouts: single device
+# (axis_rows=axis_batch=None), constraint rows sharded over a mesh axis
+# (axis_rows="model": A/l/u/z/y hold the local row block, x-space quantities
+# replicate, cross-space contractions psum, row-space norms pmax), and batch
+# sharded over a data axis (axis_batch="data": only the *statistics* that are
+# batch-global — the adaptive-rho estimate — reduce over it, so a sharded
+# fleet makes the same rho decisions as the equivalent unsharded batch).
+
+
+def _psum_rows(v, axis_rows):
+    return jax.lax.psum(v, axis_rows) if axis_rows else v
+
+
+def _pmax_rows(v, axis_rows):
+    return jax.lax.pmax(v, axis_rows) if axis_rows else v
+
+
+def _pall_rows(v, axis_rows):
+    """all() across the row shards (v is a bool array already all-reduced
+    locally)."""
+    if not axis_rows:
+        return v
+    return jax.lax.psum(v.astype(jnp.int32), axis_rows) == jax.lax.psum(
+        jnp.ones((), jnp.int32), axis_rows
+    )
+
+
+def _ruiz_equilibration(P, A, q_ref, iters: int, axis_rows=None):
     """Modified Ruiz equilibration of the KKT-stacked matrix (OSQP scaling.c).
 
     Returns diagonal scalings ``d`` (n,), ``e`` (m,) and cost scaling ``c``
@@ -99,8 +133,11 @@ def _ruiz_equilibration(P, A, q_ref, iters: int):
 
     def body(_, carry):
         d, e, c, P, A, q = carry
-        # column inf-norms of the stacked [[P, A'], [A, 0]]
-        col_norm_x = jnp.maximum(_inf_norm(P, axis=0), _inf_norm(A, axis=0))
+        # column inf-norms of the stacked [[P, A'], [A, 0]]; the A column
+        # norms span all row shards
+        col_norm_x = jnp.maximum(
+            _inf_norm(P, axis=0), _pmax_rows(_inf_norm(A, axis=0), axis_rows)
+        )
         col_norm_y = _inf_norm(A, axis=1)
         dd = 1.0 / jnp.sqrt(limit(col_norm_x))
         ee = 1.0 / jnp.sqrt(limit(col_norm_y))
@@ -120,18 +157,93 @@ def _ruiz_equilibration(P, A, q_ref, iters: int):
     return d, e, c
 
 
-def _build_kkt_inverse(P, A, rho_vec, sigma):
+class PreparedQP(NamedTuple):
+    """Time-invariant solver state hoisted out of the per-step solve.
+
+    The reference pays ``osqp_setup`` (scaling + KKT factorization) on every
+    control step (reference: include/mpc/LMPC/LOptimizer.hpp:261); OSQP
+    itself computes Ruiz scaling ONCE per workspace and keeps it across
+    ``osqp_update_lin_cost``/``osqp_update_bounds`` calls.  ``prepare_qp``
+    reproduces that setup-once semantics: controllers cache the result and
+    re-solve each step with only the cheap q/l/u scaling in the hot path
+    (SURVEY §3.2: "keeping P/A static on-device").
+    """
+
+    Ps: jax.Array  # (n, n) scaled quadratic cost
+    As: jax.Array  # (m, n) scaled constraints
+    d: jax.Array  # (n,) primal scaling
+    e: jax.Array  # (m,) dual scaling
+    c: jax.Array  # () cost scaling
+    eq_mask: jax.Array  # (m,) structural equality rows
+    loose_mask: jax.Array  # (m,) rows loose in every instance
+    M0: jax.Array  # (n, n) KKT matrix at the initial rho
+    Minv0: jax.Array  # (n, n) its explicit inverse
+
+
+def _rho_bounds(dtype, params):
+    """float32 numerics: the reference's default rho/sigma (fine for OSQP's
+    pivoted f64 LDL) make M nearly singular in single precision; floor them
+    and refine the x-update instead."""
+    f32 = dtype == jnp.float32
+    sigma_v = max(params.sigma, 1e-5) if f32 else params.sigma
+    rho_lo = 1e-3 if f32 else RHO_MIN
+    rho_hi = 1e3 if f32 else RHO_MAX
+    return sigma_v, rho_lo, rho_hi
+
+
+def _rho_vec_of(rho, eq_mask, loose_mask):
+    rv = jnp.where(eq_mask, RHO_EQ_OVER_RHO_INEQ * rho, rho)
+    return jnp.where(loose_mask, RHO_MIN, rv)
+
+
+def prepare_qp(P, A, q_ref, eq_mask, loose_mask, params: LParameters,
+               axis_rows=None) -> PreparedQP:
+    """One-time setup: Ruiz equilibration + initial KKT inverse.
+
+    ``q_ref`` is a representative linear term used only for the cost scaling
+    (OSQP computes it from the q present at ``osqp_setup`` and keeps it when
+    q is later updated — the same stale-c semantics apply here).
+    """
+    with jax.default_matmul_precision("highest"):
+        n = P.shape[0]
+        m = A.shape[0]
+        dtype = P.dtype
+        if params.scaling_iters > 0:
+            d, e, c = _ruiz_equilibration(
+                P, A, q_ref, params.scaling_iters, axis_rows
+            )
+        else:
+            d = jnp.ones((n,), dtype)
+            e = jnp.ones((m,), dtype)
+            c = jnp.asarray(1.0, dtype)
+        Ps = c * (P * d[None, :] * d[:, None])
+        As = A * e[:, None] * d[None, :]
+        sigma_v, rho_lo, rho_hi = _rho_bounds(dtype, params)
+        rho_init = jnp.clip(jnp.asarray(params.rho, dtype), rho_lo, rho_hi)
+        M0, Minv0 = _build_kkt_inverse(
+            Ps, As, _rho_vec_of(rho_init, eq_mask, loose_mask),
+            jnp.asarray(sigma_v, dtype), axis_rows,
+        )
+        return PreparedQP(
+            Ps=Ps, As=As, d=d, e=e, c=c,
+            eq_mask=eq_mask, loose_mask=loose_mask, M0=M0, Minv0=Minv0,
+        )
+
+
+def _build_kkt_inverse(P, A, rho_vec, sigma, axis_rows=None):
     """Explicit inverse (and the matrix itself) of
     M = P + sigma*I + A' diag(rho) A.
 
     An explicit inverse (rather than keeping a Cholesky factor) turns every
     ADMM x-update into a plain matmul: ideal for the MXU and for very wide
     batches.  M is SPD so the inverse is well-defined.  M is returned too so
-    float32 runs can iteratively refine the x-update against it.
+    float32 runs can iteratively refine the x-update against it.  With
+    row-sharded A the per-shard contributions psum into the replicated M.
     """
     n = P.shape[0]
     eye = jnp.eye(n, dtype=P.dtype)
-    M = P + sigma * eye + (A.T * rho_vec[None, :]) @ A
+    AtRA = _psum_rows((A.T * rho_vec[None, :]) @ A, axis_rows)
+    M = P + sigma * eye + AtRA
     cho = jax.scipy.linalg.cho_factor(M)
     Minv = jax.scipy.linalg.cho_solve(cho, eye)
     return M, Minv
@@ -153,6 +265,9 @@ class _LoopState(NamedTuple):
     y_prev: jax.Array
     iters: jax.Array
     done: jax.Array
+    stop: jax.Array  # scalar: every instance done, globally agreed across
+    # shards (loop-exit flag; with a sharded batch axis all shards must run
+    # the same number of blocks because the checks contain collectives)
     status: jax.Array
     pri_res: jax.Array
     dua_res: jax.Array
@@ -163,35 +278,39 @@ class _LoopState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("params", "n_iters", "check_every"),
+    static_argnames=("params", "n_iters", "check_every", "axis_rows",
+                     "axis_batch"),
 )
 def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
-               d, e, c, params: LParameters, n_iters: int, check_every: int):
+               d, e, c, M0, Minv0, iter_budget, params: LParameters,
+               n_iters: int, check_every: int, axis_rows=None,
+               axis_batch=None):
     """Scaled-problem ADMM iterations with periodic termination checks.
 
     All of P/A/q/l/u here are the *scaled* quantities; d/e/c unscale
     residuals for termination (OSQP checks unscaled residuals by default).
+    ``M0``/``Minv0`` are the KKT matrix/inverse at the initial rho (built by
+    :func:`prepare_qp`, hoisted out of the per-step hot path).
+
+    ``iter_budget`` is a *traced* iteration cap implementing the
+    ``time_limit`` contract (reference: Types.hpp:108-110 via OSQP's
+    settings->time_limit, LOptimizer.hpp:256): the loop stops at the first
+    termination check past the budget and unconverged instances report
+    ``OSQP_TIME_LIMIT_REACHED``.  Pass ``NO_BUDGET`` for no limit.
     """
     B = qs.shape[0]
     n = P.shape[1]
     m = A.shape[0]
     dtype = P.dtype
-    # float32 numerics: the reference's default rho=1e-6 / sigma=1e-6 (fine
-    # for OSQP's pivoted f64 LDL) make M nearly singular in single precision;
-    # floor them and refine the x-update instead
     f32 = dtype == jnp.float32
-    sigma_v = max(params.sigma, 1e-5) if f32 else params.sigma
-    rho_lo = 1e-3 if f32 else RHO_MIN
-    rho_hi = 1e3 if f32 else RHO_MAX
+    sigma_v, rho_lo, rho_hi = _rho_bounds(dtype, params)
     sigma = jnp.asarray(sigma_v, dtype)
     alpha = jnp.asarray(params.alpha, dtype)
 
     def rho_vec_of(rho):
-        rv = jnp.where(rho_mask_eq, RHO_EQ_OVER_RHO_INEQ * rho, rho)
-        return jnp.where(rho_mask_loose, RHO_MIN, rv)
+        return _rho_vec_of(rho, rho_mask_eq, rho_mask_loose)
 
     rho_init = jnp.clip(jnp.asarray(rho0, dtype), rho_lo, rho_hi)
-    M0, Minv0 = _build_kkt_inverse(P, A, rho_vec_of(rho_init), sigma)
     z0 = x0 @ A.T
     init = _LoopState(
         x=x0,
@@ -201,6 +320,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         y_prev=y0,
         iters=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
+        stop=jnp.asarray(False),
         status=jnp.full((B,), OSQP_UNSOLVED, jnp.int32),
         pri_res=jnp.full((B,), jnp.inf, dtype),
         dua_res=jnp.full((B,), jnp.inf, dtype),
@@ -213,7 +333,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         x, z, y = state.x, state.z, state.y
         rho_vec = rho_vec_of(state.rho)
         # x-update: (P + sigma I + A'RA) xt = sigma x - q + A'(R z - y)
-        rhs = sigma * x - qs + (rho_vec * z - y) @ A
+        rhs = sigma * x - qs + _psum_rows((rho_vec * z - y) @ A, axis_rows)
         xt = rhs @ state.Minv  # Minv symmetric
         if f32:
             # one refinement pass against M recovers the digits the explicit
@@ -243,10 +363,13 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         # -- unscaled residuals ------------------------------------------
         Ax = x @ A.T
         Px = x @ P
-        Aty = y @ A
-        pri = _inf_norm((Ax - z) / e[None, :])
+        Aty = _psum_rows(y @ A, axis_rows)
+        pri = _pmax_rows(_inf_norm((Ax - z) / e[None, :]), axis_rows)
         dua = _inf_norm((Px + qs + Aty) / d[None, :]) / c
-        pri_rel = jnp.maximum(_inf_norm(Ax / e[None, :]), _inf_norm(z / e[None, :]))
+        pri_rel = _pmax_rows(
+            jnp.maximum(_inf_norm(Ax / e[None, :]), _inf_norm(z / e[None, :])),
+            axis_rows,
+        )
         dua_rel = jnp.maximum(
             jnp.maximum(_inf_norm(Px / d[None, :]), _inf_norm(Aty / d[None, :])),
             _inf_norm(qs / d[None, :]),
@@ -259,19 +382,25 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         # unscaling: x = D x_bar, y = c^-1 E y_bar
         dy = (y - state.y_prev) * e[None, :] / c
         dx = (x - state.x_prev) * d[None, :]
-        norm_dy = _inf_norm(dy)
+        norm_dy = _pmax_rows(_inf_norm(dy), axis_rows)
         norm_dx = _inf_norm(dx)
 
         # primal infeasibility: ||A' dy|| small and support function negative
-        Atdy = _inf_norm((y - state.y_prev) @ A / d[None, :]) / c
+        Atdy = (
+            _inf_norm(_psum_rows((y - state.y_prev) @ A, axis_rows) / d[None, :])
+            / c
+        )
         u_unscaled = us / e[None, :]
         l_unscaled = ls / e[None, :]
         dy_plus = jnp.maximum(dy, 0.0)
         dy_minus = jnp.minimum(dy, 0.0)
-        sup = jnp.sum(
-            jnp.where(dy_plus > 0, jnp.minimum(u_unscaled, INF_BOUND) * dy_plus, 0.0)
-            + jnp.where(dy_minus < 0, jnp.maximum(l_unscaled, -INF_BOUND) * dy_minus, 0.0),
-            axis=-1,
+        sup = _psum_rows(
+            jnp.sum(
+                jnp.where(dy_plus > 0, jnp.minimum(u_unscaled, INF_BOUND) * dy_plus, 0.0)
+                + jnp.where(dy_minus < 0, jnp.maximum(l_unscaled, -INF_BOUND) * dy_minus, 0.0),
+                axis=-1,
+            ),
+            axis_rows,
         )
         # OSQP auxil.c is_primal_infeasible: ||dy|| > eps, support function
         # strictly negative, and A'dy ~ 0
@@ -285,17 +414,20 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         eps_d = params.eps_dual_inf * norm_dx
         u_inf = u_unscaled >= INF_BOUND
         l_inf = l_unscaled <= -INF_BOUND
-        cone_ok = jnp.all(
-            jnp.where(
-                u_inf & l_inf,
-                True,
+        cone_ok = _pall_rows(
+            jnp.all(
                 jnp.where(
-                    u_inf,
-                    Adx >= -eps_d[:, None],
-                    jnp.where(l_inf, Adx <= eps_d[:, None], jnp.abs(Adx) <= eps_d[:, None]),
+                    u_inf & l_inf,
+                    True,
+                    jnp.where(
+                        u_inf,
+                        Adx >= -eps_d[:, None],
+                        jnp.where(l_inf, Adx <= eps_d[:, None], jnp.abs(Adx) <= eps_d[:, None]),
+                    ),
                 ),
+                axis=-1,
             ),
-            axis=-1,
+            axis_rows,
         )
         # OSQP auxil.c is_dual_infeasible: ||dx|| > eps, q'dx strictly
         # negative, P dx ~ 0, and A dx in the recession cone
@@ -329,28 +461,46 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 )
             )
             ratio = jnp.nan_to_num(ratio, nan=1.0, posinf=1e10, neginf=1e-10)
-            # geometric mean over still-active instances
+            # geometric mean over still-active instances — across the WHOLE
+            # fleet batch when it is sharded over a data axis, so every
+            # shard makes the same rho decision as an unsharded batch would
             active = ~done
-            log_ratio = jnp.where(active, jnp.log(ratio), 0.0)
-            n_active = jnp.maximum(jnp.sum(active), 1)
-            rho_est = state.rho * jnp.exp(jnp.sum(log_ratio) / n_active)
+            log_sum = jnp.sum(jnp.where(active, jnp.log(ratio), 0.0))
+            n_act = jnp.sum(active)
+            if axis_batch:
+                log_sum = jax.lax.psum(log_sum, axis_batch)
+                n_act = jax.lax.psum(n_act, axis_batch)
+            rho_est = state.rho * jnp.exp(log_sum / jnp.maximum(n_act, 1))
             rho_est = jnp.clip(jnp.nan_to_num(rho_est, nan=rho_lo), rho_lo, rho_hi)
-            need_update = jnp.any(active) & (
+            need_update = (n_act > 0) & (
                 (rho_est > state.rho * ADAPTIVE_RHO_TOLERANCE)
                 | (rho_est < state.rho / ADAPTIVE_RHO_TOLERANCE)
             )
             rho_new, (M_new, Minv_new) = jax.lax.cond(
                 need_update,
-                lambda: (rho_est, _build_kkt_inverse(P, A, rho_vec_of(rho_est), sigma)),
+                lambda: (
+                    rho_est,
+                    _build_kkt_inverse(
+                        P, A, rho_vec_of(rho_est), sigma, axis_rows
+                    ),
+                ),
                 lambda: (state.rho, (state.M, state.Minv)),
             )
         else:
             rho_new, M_new, Minv_new = state.rho, state.M, state.Minv
 
+        all_done = jnp.all(done)
+        if axis_batch:
+            # loop-exit agreement across the sharded batch axis
+            all_done = (
+                jax.lax.psum((~all_done).astype(jnp.int32), axis_batch) == 0
+            )
+
         return state._replace(
             x_prev=x,
             y_prev=y,
             done=done,
+            stop=all_done,
             status=status,
             pri_res=jnp.where(newly, pri, state.pri_res),
             dua_res=jnp.where(newly, dua, state.dua_res),
@@ -366,6 +516,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
     # check_every iterations — ~K x less HBM traffic than the XLA loop)
     use_pallas = (
         params.use_pallas
+        and axis_rows is None
         and jax.default_backend() == "tpu"
         and _pallas_supported(B, n, m, dtype)
     )
@@ -394,28 +545,40 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             )
             return termination_check(state)
 
+    budget = jnp.asarray(iter_budget, jnp.int32)
+
     def cond(state_k):
         state, k = state_k
-        return (k < n_blocks) & ~jnp.all(state.done)
+        return (k < n_blocks) & ~state.stop & (k * check_every < budget)
 
     def body(state_k):
         state, k = state_k
         return block(state), k + 1
 
-    state, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(0, jnp.int32)))
+    state, k_fin = jax.lax.while_loop(
+        cond, body, (init, jnp.asarray(0, jnp.int32))
+    )
 
-    # instances that never converged
+    # instances that never converged: distinguish a budget (time-limit) stop
+    # from an ordinary max-iteration exhaustion, like OSQP's
+    # exceeds_max_time check in its iteration loop
+    budget_hit = (k_fin < n_blocks) & (k_fin * check_every >= budget)
     max_iter_status = jnp.where(
-        (state.pri_res <= 100.0 * (params.eps_abs + params.eps_rel))
-        & (state.dua_res <= 100.0 * (params.eps_abs + params.eps_rel)),
-        OSQP_SOLVED_INACCURATE,
-        OSQP_MAX_ITER_REACHED,
+        budget_hit,
+        OSQP_TIME_LIMIT_REACHED,
+        jnp.where(
+            (state.pri_res <= 100.0 * (params.eps_abs + params.eps_rel))
+            & (state.dua_res <= 100.0 * (params.eps_abs + params.eps_rel)),
+            OSQP_SOLVED_INACCURATE,
+            OSQP_MAX_ITER_REACHED,
+        ),
     )
     status = jnp.where(state.status == OSQP_UNSOLVED, max_iter_status, state.status)
     return state._replace(status=status)
 
 
-def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
+def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask,
+            axis_rows=None):
     """Active-set polish (OSQP polish.c, penalty/Schur-complement form).
 
     Identify lower/upper-active rows from the dual signs, then solve the
@@ -454,17 +617,23 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
         # regularized reduced operator; refinement targets the original
         # (unregularized) KKT system so the delta bias is iterated away
         # (OSQP polish.c: iterative_refinement against the KKT matrix)
-        M = P + delta * eye + (A.T * wi[None, :]) @ A
+        M = P + delta * eye + _psum_rows((A.T * wi[None, :]) @ A, axis_rows)
         cho = jax.scipy.linalg.cho_factor(M)
 
-        x = jax.scipy.linalg.cho_solve(cho, -qi + (wi * bi) @ A)
+        x = jax.scipy.linalg.cho_solve(
+            cho, -qi + _psum_rows((wi * bi) @ A, axis_rows)
+        )
         nu = wi * (x @ A.T - bi)
 
         def refine(_, carry):
             x, nu = carry
-            r1 = -qi - x @ P - jnp.where(acti, nu, 0.0) @ A
+            r1 = -qi - x @ P - _psum_rows(
+                jnp.where(acti, nu, 0.0) @ A, axis_rows
+            )
             r2 = jnp.where(acti, bi - x @ A.T, 0.0)
-            dx = jax.scipy.linalg.cho_solve(cho, r1 + (wi * r2) @ A)
+            dx = jax.scipy.linalg.cho_solve(
+                cho, r1 + _psum_rows((wi * r2) @ A, axis_rows)
+            )
             dnu = wi * (dx @ A.T - r2)
             return x + dx, nu + dnu
 
@@ -476,8 +645,8 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask):
     z_pol = jnp.clip(x_pol @ A.T, l, u)
 
     def residuals(x, z, y):
-        pri = _inf_norm(x @ A.T - z)
-        dua = _inf_norm(x @ P + q + y @ A)
+        pri = _pmax_rows(_inf_norm(x @ A.T - z), axis_rows)
+        dua = _inf_norm(x @ P + q + _psum_rows(y @ A, axis_rows))
         return pri, dua
 
     pri0, dua0 = residuals(sol_x, sol_z, sol_y)
@@ -503,8 +672,20 @@ def admm_solve(
     warm_x: Optional[jax.Array] = None,
     warm_y: Optional[jax.Array] = None,
     eq_mask: Optional[jax.Array] = None,
+    iter_budget: Optional[jax.Array] = None,
+    prepared: Optional[PreparedQP] = None,
+    axis_rows: Optional[str] = None,
+    axis_batch: Optional[str] = None,
 ) -> QPSolution:
     """Solve a batch of QPs sharing (P, A) structure.
+
+    ``axis_rows``/``axis_batch`` name mesh axes when called inside
+    ``shard_map``: with ``axis_rows`` the constraint rows of A/l/u (and z/y)
+    are the local shard of a row-sharded problem (the tensor-parallel axis;
+    cross-space products psum, row norms pmax — full feature parity with the
+    single-chip path including Ruiz, certificates, adaptive rho and polish);
+    with ``axis_batch`` the batch is a shard of a fleet and the batch-global
+    statistics (adaptive-rho estimate, loop exit) reduce over the fleet.
 
     Args:
       P: (n, n) quadratic cost (full symmetric, not upper-tri).
@@ -513,7 +694,10 @@ def admm_solve(
       params: OSQP-style settings (static; selects the compiled program).
       warm_x, warm_y: optional warm-start primal/dual, shaped like q / l.
       eq_mask: optional (m,) bool marking structural equality rows (l == u);
-        inferred from the first batch element when omitted.
+        inferred (conservatively over the batch) when omitted.
+      iter_budget: optional *traced* iteration cap implementing the
+        ``time_limit`` contract; unconverged instances stopped by it report
+        ``OSQP_TIME_LIMIT_REACHED``.  ``None`` means unlimited.
 
     Returns a :class:`QPSolution` with a leading batch axis (squeezed back if
     the inputs were unbatched).
@@ -523,10 +707,16 @@ def admm_solve(
     residuals (the factorization alone loses all significant digits).
     """
     with jax.default_matmul_precision("highest"):
-        return _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask)
+        return _admm_solve_hp(
+            P, A, q, l, u, params, warm_x, warm_y, eq_mask, iter_budget,
+            prepared, axis_rows, axis_batch,
+        )
 
 
-def _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask) -> QPSolution:
+def _admm_solve_hp(
+    P, A, q, l, u, params, warm_x, warm_y, eq_mask, iter_budget=None,
+    prepared=None, axis_rows=None, axis_batch=None,
+) -> QPSolution:
     unbatched = q.ndim == 1
     if unbatched:
         q, l, u = q[None], l[None], u[None]
@@ -543,21 +733,19 @@ def _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask) -> QPSolution
     # instance, and the loose rho only when it is loose in EVERY instance.
     # Mixed rows fall back to the ordinary rho — correct for all instances,
     # merely less tuned (per-instance bounds via set_instance_bounds).
-    if eq_mask is None:
-        eq_mask = jnp.all((l == u) & jnp.isfinite(l), axis=0)
-    loose_mask = jnp.all((l <= -INF_BOUND) & (u >= INF_BOUND), axis=0)
-
-    # -- scaling ----------------------------------------------------------
-    if params.scaling_iters > 0:
+    if prepared is None:
+        if eq_mask is None:
+            eq_mask = jnp.all((l == u) & jnp.isfinite(l), axis=0)
+        loose_mask = jnp.all((l <= -INF_BOUND) & (u >= INF_BOUND), axis=0)
         q_ref = jnp.max(jnp.abs(q), axis=0)
-        d, e, c = _ruiz_equilibration(P, A, q_ref, params.scaling_iters)
-    else:
-        d = jnp.ones((n,), dtype)
-        e = jnp.ones((m,), dtype)
-        c = jnp.asarray(1.0, dtype)
+        if axis_batch:
+            q_ref = jax.lax.pmax(q_ref, axis_batch)
+        prepared = prepare_qp(P, A, q_ref, eq_mask, loose_mask, params,
+                              axis_rows)
 
-    Ps = c * (P * d[None, :] * d[:, None])
-    As = A * e[:, None] * d[None, :]
+    Ps, As = prepared.Ps, prepared.As
+    d, e, c = prepared.d, prepared.e, prepared.c
+    eq_mask, loose_mask = prepared.eq_mask, prepared.loose_mask
     qs = c * (q * d[None, :])
     # scale bounds, keeping infinities infinite
     ls = jnp.where(l <= -INF_BOUND, l, l * e[None, :])
@@ -570,10 +758,15 @@ def _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask) -> QPSolution
         x0 = jnp.zeros((B, n), dtype)
         y0 = jnp.zeros((B, m), dtype)
 
+    if iter_budget is None:
+        iter_budget = jnp.asarray(NO_BUDGET, jnp.int32)
     state = _admm_loop(
         Ps, As, qs, ls, us, x0, y0,
         params.rho, eq_mask, loose_mask, d, e, c,
-        params, params.maximum_iteration, min(params.check_termination, params.maximum_iteration),
+        prepared.M0, prepared.Minv0, iter_budget,
+        params, params.maximum_iteration,
+        min(params.check_termination, params.maximum_iteration),
+        axis_rows, axis_batch,
     )
 
     # -- unscale ----------------------------------------------------------
@@ -584,7 +777,7 @@ def _admm_solve_hp(P, A, q, l, u, params, warm_x, warm_y, eq_mask) -> QPSolution
 
     if params.polish:
         x_p, y_p, z_p, pri_p, dua_p = _polish(
-            P, A, q, l, u, x, y, z, params, eq_mask
+            P, A, q, l, u, x, y, z, params, eq_mask, axis_rows
         )
         ok = (state.status == OSQP_SOLVED) | (state.status == OSQP_SOLVED_INACCURATE)
         sel = ok[:, None]

@@ -5,18 +5,18 @@ The TPU-native replacement for NLopt's LD_SLSQP driving the reference's NLMPC
 sequential quadratic programming with an l1-merit line search — re-built
 around what the hardware and autodiff make cheap:
 
-* derivatives are exact: gradient, constraint Jacobians AND the Lagrangian
-  Hessian come from autodiff (the reference approximates curvature with BFGS
-  inside SLSQP and Jacobians with finite differences,
-  Constraints.hpp:844-905);  the exact-Hessian SQP converges quadratically,
-  so a control step costs a handful of QP solves;
-* the Hessian is convexified by eigenvalue clipping (small dense ``eigh`` —
-  decision vectors are tens of entries for MPC problems);
+* gradients and constraint Jacobians are exact autodiff (the reference uses
+  finite differences, Constraints.hpp:844-905);
+* curvature is the exact Lagrangian Hessian convexified by eigenvalue
+  clipping by default (``hessian_reg="eigh"`` — fewest SQP iterations, and
+  batched small eigh measures ~0.08 ms/1024 instances on TPU); damped-BFGS
+  (``"bfgs"``, SLSQP's own family) and factorization-free shifts
+  (``"gershgorin"``/``"power"``) are selectable;
 * the inner QP reuses the batched ADMM kernel (`ops/admm.py`), sharing one QP
-  engine between LMPC and NLMPC;
-* the line search evaluates a fixed ladder of step lengths *plus a
-  second-order-correction candidate* in one vmapped batch (no Maratos
-  stalling), and the whole solve is a single ``lax.while_loop``;
+  engine between LMPC and NLMPC, warm-started across SQP iterations;
+* the line search is a lazy backtracking loop trying [unit step,
+  second-order-correction candidate, halvings] and stopping at the first
+  Armijo pass — ~1 merit evaluation per iteration near convergence;
 * a batch of instances is solved by ``vmap`` of this function.
 
 Status codes mirror nlopt's enum values so ``Result.solver_status`` matches
@@ -100,6 +100,7 @@ def sqp_solve(
     lb: jax.Array,
     ub: jax.Array,
     params: NLParameters,
+    iter_budget: Optional[jax.Array] = None,
 ) -> SQPSolution:
     """Solve  min f(z)  s.t.  ceq(z)=0, cin(z)<=0, lb<=z<=ub  from z0.
 
@@ -107,14 +108,23 @@ def sqp_solve(
     closures.  ``vmap`` over instances batches everything, including the
     inner QP and the Hessian eigendecompositions.
 
+    ``iter_budget`` is a *traced* SQP-iteration cap implementing the
+    ``time_limit`` contract (reference: NLMPC sets nlopt maxtime,
+    NLMPC.hpp via Types.hpp:108-110); instances stopped by it report
+    ``NLOPT_MAXTIME_REACHED`` (NLOptimizer.hpp:744-746).
+
     Runs at ``highest`` matmul precision — TPU's default bf16 matmul passes
     cannot drive an optimizer to 1e-7 stationarity.
     """
     with jax.default_matmul_precision("highest"):
-        return _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params)
+        return _sqp_solve_hp(
+            f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget
+        )
 
 
-def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
+def _sqp_solve_hp(
+    f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget=None
+) -> SQPSolution:
     nz = z0.shape[0]
     dtype = z0.dtype
     me = ceq_fn(z0).shape[0]
@@ -125,13 +135,17 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
     jac_eq = jax.jacfwd(ceq_fn)
     jac_in = jax.jacfwd(cin_fn) if cin_fn is not None else None
 
-    def lagrangian(z, lam_e, lam_i):
-        L = f_fn(z) + jnp.dot(lam_e, ceq_fn(z))
-        if cin_fn is not None:
-            L = L + jnp.dot(lam_i, cin_fn(z))
-        return L
+    use_bfgs = params.hessian_reg == "bfgs"
+    if use_bfgs:
+        hess_L = None
+    else:
+        def lagrangian(z, lam_e, lam_i):
+            L = f_fn(z) + jnp.dot(lam_e, ceq_fn(z))
+            if cin_fn is not None:
+                L = L + jnp.dot(lam_i, cin_fn(z))
+            return L
 
-    hess_L = jax.hessian(lagrangian)
+        hess_L = jax.hessian(lagrangian)
 
     f32 = dtype == jnp.float32
     qp_par = _qp_params(f32)
@@ -167,6 +181,14 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         viol: jax.Array
         qp_x: jax.Array  # inner-QP warm start: previous direction
         qp_y: jax.Array  # inner-QP warm start: previous duals
+        # quasi-Newton state ("bfgs" mode; inert under exact-Hessian modes)
+        Bmat: jax.Array  # (nz, nz) PSD curvature model
+        z_prev: jax.Array  # iterate the stored derivatives belong to
+        g_prev: jax.Array  # objective gradient at z_prev
+        Je_prev: jax.Array  # equality Jacobian at z_prev
+        Ji_prev: jax.Array  # inequality Jacobian at z_prev
+        have_prev: jax.Array  # bool: the *_prev derivatives are valid
+        have_scaled: jax.Array  # bool: Shanno-Phua sizing already applied
 
     f0, ce0, ci0 = merit_terms(z0)
     init = Carry(
@@ -182,6 +204,13 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         viol=constraint_viol(ce0, ci0),
         qp_x=jnp.zeros((nz,), dtype),
         qp_y=jnp.zeros((m_qp,), dtype),
+        Bmat=jnp.eye(nz, dtype=dtype),
+        z_prev=z0,
+        g_prev=jnp.zeros((nz,), dtype),
+        Je_prev=jnp.zeros((me, nz), dtype),
+        Ji_prev=jnp.zeros((mi, nz), dtype),
+        have_prev=jnp.asarray(False),
+        have_scaled=jnp.asarray(False),
     )
 
     def body(s: Carry) -> Carry:
@@ -195,25 +224,104 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
             ci = jnp.zeros((0,), dtype)
             Ji = jnp.zeros((0, nz), dtype)
 
-        # -- convexified exact Hessian --------------------------------------
-        H = hess_L(s.z, s.lam_e, s.lam_i)
-        H = 0.5 * (H + H.T)
-        if params.hessian_reg == "gershgorin":
-            # shift by a Gershgorin bound: tau >= -lambda_min guarantees PSD
-            # without an eigendecomposition; more conservative when H is
-            # indefinite
-            diag = jnp.diagonal(H)
-            radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
-            gersh_lo = jnp.min(diag - radius)
-            scale = jnp.max(diag + radius)
-            tau = jnp.maximum(-gersh_lo, 0.0) + jnp.maximum(1e-6 * scale, 1e-8)
-            B = H + tau * jnp.eye(nz, dtype=dtype)
+        if use_bfgs:
+            # -- damped BFGS curvature model (Powell's rule) ----------------
+            # the reference's SLSQP is itself a damped-BFGS SQP (NLopt
+            # LD_SLSQP; NLOptimizer.hpp:64) — this is the algorithm-parity
+            # mode AND the fast mode: no Lagrangian Hessian, no eigh.
+            # y uses multipliers fixed at the *current* estimate:
+            # y = grad_z L(z, lam) - grad_z L(z_prev, lam), both sides
+            # contracted with the same lam
+            gL = g + s.lam_e @ Je + (s.lam_i @ Ji if mi else 0.0)
+            gL_old = (
+                s.g_prev
+                + s.lam_e @ s.Je_prev
+                + (s.lam_i @ s.Ji_prev if mi else 0.0)
+            )
+            sv = s.z - s.z_prev
+            y = gL - gL_old
+            # Shanno-Phua sizing on the first curvature pair: replace the
+            # unit initialization with gamma*I, gamma = y'y/s'y, so the
+            # model starts at the right scale (classic quasi-Newton warm-up;
+            # cuts several early iterations)
+            sy_raw = jnp.dot(sv, y)
+            gamma = jnp.clip(
+                jnp.dot(y, y) / jnp.where(sy_raw <= 0.0, 1.0, sy_raw),
+                1e-3,
+                1e6,
+            )
+            first_pair = ~s.have_scaled & (sy_raw > 0.0)
+            Bbase = jnp.where(
+                first_pair, gamma * jnp.eye(nz, dtype=dtype), s.Bmat
+            )
+            Bs = Bbase @ sv
+            sBs = jnp.dot(sv, Bs)
+            sy = sy_raw
+            theta = jnp.where(
+                sy >= 0.2 * sBs,
+                1.0,
+                0.8 * sBs / jnp.where(sBs - sy == 0.0, 1.0, sBs - sy),
+            )
+            yd = theta * y + (1.0 - theta) * Bs
+            syd = jnp.dot(sv, yd)
+            ok_upd = (
+                s.have_prev
+                & (sBs > 1e-12)
+                & (syd > 1e-12)
+                & (jnp.max(jnp.abs(sv)) > 0.0)
+            )
+            B_upd = (
+                Bbase
+                - jnp.outer(Bs, Bs) / jnp.where(sBs == 0.0, 1.0, sBs)
+                + jnp.outer(yd, yd) / jnp.where(syd == 0.0, 1.0, syd)
+            )
+            B = jnp.where(ok_upd, B_upd, s.Bmat)
         else:
-            # clip eigenvalues to a 1e-6-relative floor: the tightest convex
-            # model of H (costs an eigh per iteration)
-            w, V = jnp.linalg.eigh(H)
-            tau = jnp.maximum(1e-8, 1e-6 * jnp.max(jnp.abs(w)))
-            B = (V * jnp.maximum(w, tau)[None, :]) @ V.T
+            # -- convexified exact Hessian ----------------------------------
+            H = hess_L(s.z, s.lam_e, s.lam_i)
+            H = 0.5 * (H + H.T)
+            if params.hessian_reg == "gershgorin":
+                # shift by a Gershgorin bound: tau >= -lambda_min guarantees
+                # PSD without an eigendecomposition; more conservative when H
+                # is indefinite
+                diag = jnp.diagonal(H)
+                radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+                gersh_lo = jnp.min(diag - radius)
+                scale = jnp.max(diag + radius)
+                tau = jnp.maximum(-gersh_lo, 0.0) + jnp.maximum(1e-6 * scale, 1e-8)
+                B = H + tau * jnp.eye(nz, dtype=dtype)
+            elif params.hessian_reg == "power":
+                # shift by a *tight* estimate of -lambda_min obtained with
+                # two short power iterations (pure batched matvecs — ideal
+                # for the MXU, no factorization, no eigh).  Near a solution H
+                # is PSD, the shift collapses to the floor and the steps
+                # match the exact-Newton ones.
+                eye = jnp.eye(nz, dtype=dtype)
+                v0 = jnp.ones((nz,), dtype) + jnp.arange(nz, dtype=dtype) / nz
+
+                def pow_iter(M, v, steps=12):
+                    def one(_, v):
+                        w = M @ v
+                        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+                    v = jax.lax.fori_loop(0, steps, one, v)
+                    return jnp.dot(v, M @ v), v
+
+                lam_hi, _ = pow_iter(H, v0)
+                lam_hi = jnp.abs(lam_hi) * 1.01 + 1e-8
+                # lambda_min(H) = lam_hi - lambda_max(lam_hi*I - H)
+                lam_sh, _ = pow_iter(lam_hi * eye - H, v0)
+                lam_min = lam_hi - lam_sh
+                scale = jnp.maximum(lam_hi, 1e-8)
+                tau = jnp.maximum(-lam_min, 0.0) * 1.2 + jnp.maximum(
+                    1e-6 * scale, 1e-8
+                )
+                B = H + tau * eye
+            else:
+                # clip eigenvalues to a 1e-6-relative floor: the tightest
+                # convex model of H (costs an eigh per iteration)
+                w, V = jnp.linalg.eigh(H)
+                tau = jnp.maximum(1e-8, 1e-6 * jnp.max(jnp.abs(w)))
+                B = (V * jnp.maximum(w, tau)[None, :]) @ V.T
 
         # -- QP subproblem:  min 1/2 d'Bd + g'd
         #    s.t. Je d = -ce ; Ji d <= -ci ; lb-z <= d <= ub-z ---------------
@@ -267,38 +375,60 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
         JJt = Je @ Je.T + 1e-10 * jnp.eye(me, dtype=dtype)
         d_soc = d - Je.T @ jnp.linalg.solve(JJt, ce_full)
 
-        alphas = 2.0 ** -jnp.arange(_LS_STEPS, dtype=dtype)
-        cand = jnp.concatenate(
-            [s.z[None, :] + alphas[:, None] * d[None, :], (s.z + d_soc)[None, :]]
+        # -- lazy backtracking line search ------------------------------
+        # Candidates in order [alpha=1, SOC, 1/2, 1/4, ..., 2^-(K-2)]; each
+        # while-loop trial evaluates the merit ONCE and stops at the first
+        # Armijo-passing candidate (SOC judged as a unit step).  Near
+        # convergence the unit step passes immediately, so a solve costs ~1
+        # merit evaluation per iteration instead of the previous fixed 13.
+        # (A candidate axis via nested vmap is avoided deliberately: under a
+        # fleet vmap it would triple-nest the user model, which the
+        # experimental TPU plugin miscompiles.)
+        class LS(NamedTuple):
+            t: jax.Array
+            done: jax.Array
+            z_acc: jax.Array
+            f_acc: jax.Array
+            ce_acc: jax.Array
+            ci_acc: jax.Array
+            best_phi: jax.Array
+
+        def ls_body(ls: LS) -> LS:
+            alpha = 2.0 ** -jnp.maximum(ls.t - 1, 0).astype(dtype)
+            cand = jnp.where(ls.t == 1, s.z + d_soc, s.z + alpha * d)
+            fc, cec, cic = merit_terms(cand)
+            phic = phi(fc, cec, cic)
+            passed = phic <= phi0 + _ARMIJO_C1 * alpha * D
+            take = passed | (phic < ls.best_phi)
+            return LS(
+                t=ls.t + 1,
+                done=passed,
+                z_acc=jnp.where(take, cand, ls.z_acc),
+                f_acc=jnp.where(take, fc, ls.f_acc),
+                ce_acc=jnp.where(take, cec, ls.ce_acc),
+                ci_acc=jnp.where(take, cic, ls.ci_acc),
+                best_phi=jnp.minimum(phic, ls.best_phi),
+            )
+
+        ls0 = LS(
+            t=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False),
+            z_acc=s.z,
+            f_acc=f,
+            ce_acc=ce,
+            ci_acc=ci,
+            best_phi=jnp.asarray(jnp.inf, dtype),
         )
-        # the candidate count is small and static: evaluate by unrolled loop
-        # rather than a nested vmap — when sqp_solve itself is vmapped over a
-        # fleet, the doubly-nested vmap of the user model miscompiles on the
-        # experimental TPU plugin (wrong merit values), and the unrolled form
-        # fuses just as well
-        terms = [merit_terms(cand[i]) for i in range(_LS_STEPS + 1)]
-        fs = jnp.stack([t[0] for t in terms])
-        ces = jnp.stack([t[1] for t in terms])
-        cis = jnp.stack([t[2] for t in terms])
-        phis = jnp.stack([phi(*t) for t in terms])
-        # Armijo thresholds; SOC candidate judged as a unit step
-        ath = phi0 + _ARMIJO_C1 * jnp.concatenate([alphas, alphas[:1]]) * D
-        ok = phis <= ath
-        # prefer the SOC candidate, then the largest accepted alpha
-        pick_soc = ok[_LS_STEPS]
-        first_ok = jnp.argmax(ok[:_LS_STEPS])
-        any_ok = jnp.any(ok[:_LS_STEPS])
-        best = jnp.argmin(phis)
-        idx = jnp.where(
-            pick_soc, _LS_STEPS, jnp.where(any_ok, first_ok, best)
+        ls = jax.lax.while_loop(
+            lambda ls: ~ls.done & (ls.t < _LS_STEPS + 1), ls_body, ls0
         )
-        decreased = phis[idx] < phi0
-        idx = jnp.where(decreased, idx, 0)
-        z_new = jnp.where(decreased, cand[idx], s.z)
-        f_new = jnp.where(decreased, fs[idx], f)
+        decreased = ls.done | (ls.best_phi < phi0)
+        z_new = jnp.where(decreased, ls.z_acc, s.z)
+        f_new = jnp.where(decreased, ls.f_acc, f)
         ls_fails = jnp.where(decreased, 0, s.ls_fails + 1)
-        viol_new = constraint_viol(ces[idx], cis[idx])
-        viol_new = jnp.where(decreased, viol_new, s.viol)
+        viol_new = jnp.where(
+            decreased, constraint_viol(ls.ce_acc, ls.ci_acc), s.viol
+        )
         step_norm = jnp.max(jnp.abs(z_new - s.z))
 
         # -- convergence tests ------------------------------------------------
@@ -349,13 +479,34 @@ def _sqp_solve_hp(f_fn, ceq_fn, cin_fn, z0, lb, ub, params) -> SQPSolution:
             viol=viol_new,
             qp_x=sol.x,
             qp_y=sol.y,
+            Bmat=B if use_bfgs else s.Bmat,
+            z_prev=s.z,
+            g_prev=g,
+            Je_prev=Je,
+            Ji_prev=Ji,
+            have_prev=jnp.asarray(True),
+            have_scaled=s.have_scaled | (ok_upd if use_bfgs else False),
         )
 
+    budget = jnp.asarray(
+        admm.NO_BUDGET if iter_budget is None else iter_budget, jnp.int32
+    )
+
     def cond(s: Carry):
-        return (s.status == 0) & (s.it < params.maximum_iteration)
+        return (s.status == 0) & (s.it < params.maximum_iteration) & (s.it < budget)
 
     out = jax.lax.while_loop(cond, body, init)
-    status = jnp.where(out.status == 0, NLOPT_MAXEVAL_REACHED, out.status)
+    # status still 0 with iterations to spare means the traced budget (the
+    # time_limit contract) stopped the loop, not maximum_iteration
+    status = jnp.where(
+        out.status == 0,
+        jnp.where(
+            out.it < params.maximum_iteration,
+            NLOPT_MAXTIME_REACHED,
+            NLOPT_MAXEVAL_REACHED,
+        ),
+        out.status,
+    )
     # a "roundoff" exit at an already-feasible, stationary-ish point is a
     # successful solve in practice (the step simply could not improve the
     # merit any further) — matching how SLSQP reports small final steps

@@ -16,6 +16,7 @@ cross DCN only at the end of each step.
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ from ..dims import LDims
 from ..lmpc import controller as lmpc_controller
 from ..lmpc import problem as lmpc_problem
 from ..types import ResultStatus
+from ..utils import deadline
 from . import mesh as mesh_lib
 
 
@@ -101,10 +103,12 @@ class LMPCFleet:
         self._warm_x = None
         self._warm_y = None
         self._prev_cmd = None  # hold-last-command state, carried across steps
+        self._budgeter = deadline.IterationBudgeter()
+        self._budget_key = None
         self._step_fn = None
         self._step_key = None
 
-    def _build(self, batched_refs: bool, prob_pattern):
+    def _build(self, batched_refs: bool, prob_pattern, batched_bounds: bool):
         dims = self.dims
         params = self.controller._params
         axis = mesh_lib.DATA_AXIS
@@ -117,12 +121,19 @@ class LMPCFleet:
             template,
             prob_pattern,
         )
+        # time-invariant cache: P/A and the PreparedQP replicate; the static
+        # inequality bound vectors shard when per-instance bounds are set
+        bnd_spec = P(axis) if batched_bounds else P()
+        from ..ops import admm as admm_mod
 
-        def step(prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
-                 warm_x, warm_y, have_warm, prev_cmd):
+        built_spec = (P(), P(), bnd_spec, bnd_spec,
+                      admm_mod.PreparedQP(*([P()] * 9)))
+
+        def step(prob, built, x0, u0, y_ref, u_ref, du_ref, u_meas,
+                 warm_x, warm_y, have_warm, prev_cmd, iter_budget):
             result, seq, sol_x, sol_y, iters = lmpc_controller.solve_body(
                 dims, params, prob, x0, u0, y_ref, u_ref, du_ref, u_meas,
-                warm_x, warm_y, have_warm, prev_cmd,
+                warm_x, warm_y, have_warm, prev_cmd, iter_budget, built,
             )
             stats = _local_stats(result.status, iters, axis)
             return result, seq, sol_x, sol_y, stats
@@ -132,9 +143,11 @@ class LMPCFleet:
             mesh=self.mesh,
             in_specs=(
                 prob_spec,  # problem data (bound leaves may shard over data)
+                built_spec,  # hoisted time-invariant solver state
                 P(axis), P(axis),  # x0, u0
                 ref_spec, ref_spec, ref_spec, ref_spec,  # references
                 P(axis), P(axis), P(), P(axis),  # warm state, flag, prev cmd
+                P(),  # iteration budget (time_limit contract)
             ),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             check_vma=False,
@@ -169,9 +182,13 @@ class LMPCFleet:
         prob_pattern = jax.tree.map(
             lambda t, leaf: leaf.ndim > t.ndim, template, c._prob
         )
-        cache_key = (batched_refs, tuple(jax.tree.leaves(prob_pattern)))
+        built = c._ensure_built()
+        batched_bounds = built[2].ndim > 1  # lineq carries the fleet batch
+        cache_key = (batched_refs, tuple(jax.tree.leaves(prob_pattern)),
+                     batched_bounds)
         if self._step_fn is None or self._step_key != cache_key:
-            self._step_fn = self._build(batched_refs, prob_pattern)
+            self._step_fn = self._build(batched_refs, prob_pattern,
+                                        batched_bounds)
             self._step_key = cache_key
 
         have_warm = (
@@ -190,9 +207,21 @@ class LMPCFleet:
             else jnp.zeros((B, self.dims.nu), c.dtype)
         )
 
+        # time_limit -> traced iteration budget, calibrated on fleet solves
+        if self._budget_key != B:
+            self._budgeter.reset()
+            self._budget_key = B
+        iter_budget = self._budgeter.budget(c._params.time_limit)
+
+        t0 = _time.monotonic()
         result, seq, sol_x, sol_y, stats = self._step_fn(
-            c._prob, x0, last_u, y_ref, u_ref, du_ref, u_meas,
+            c._prob, built, x0, last_u, y_ref, u_ref, du_ref, u_meas,
             warm_x, warm_y, jnp.asarray(have_warm), prev_cmd,
+            jnp.asarray(iter_budget, jnp.int32),
+        )
+        jax.block_until_ready(result.cmd)
+        self._budgeter.record(
+            _time.monotonic() - t0, int(np.max(np.asarray(stats.max_iterations)))
         )
         self._warm_x, self._warm_y = sol_x, sol_y
         self._prev_cmd = result.cmd
@@ -212,6 +241,8 @@ class NLMPCFleet:
         self._opt_vector = None
         self._slack = None
         self._prev_cmd = None  # hold-last-command state, carried across steps
+        self._budgeter = deadline.IterationBudgeter()
+        self._budget_key = None
         self._step_fn = None
 
     def _build(self):
@@ -226,10 +257,12 @@ class NLMPCFleet:
         b_axis = 0 if b_batched else None
         b_spec = P(axis) if b_batched else P()
 
-        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub):
+        def step(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub,
+                 iter_budget):
             sol, X, U, Y, slack, feas = jax.vmap(
-                solve_one, in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis)
-            )(z_prev, use_prev, x0, u0, slack0, p, lb, ub)
+                solve_one,
+                in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis, None),
+            )(z_prev, use_prev, x0, u0, slack0, p, lb, ub, iter_budget)
             result, seq = c._pack_result(sol, X, U, Y, feas, prev_cmd)
             stats = _local_stats(result.status, sol.iters, axis)
             return result, seq, sol.z, slack, stats
@@ -238,7 +271,7 @@ class NLMPCFleet:
             step,
             mesh=self.mesh,
             in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), p_spec,
-                      b_spec, b_spec),
+                      b_spec, b_spec, P()),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             check_vma=False,
         )
@@ -275,10 +308,20 @@ class NLMPCFleet:
             else jnp.zeros((B, c.dims.nu), c.dtype)
         )
 
+        if self._budget_key != B:
+            self._budgeter.reset()
+            self._budget_key = B
+        iter_budget = self._budgeter.budget(c._params.time_limit)
+
+        t0 = _time.monotonic()
         lb, ub, _ = c._bounds_args()
         result, seq, z_out, slack, stats = self._step_fn(
             z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
-            c._runtime_params, lb, ub,
+            c._runtime_params, lb, ub, jnp.asarray(iter_budget, jnp.int32),
+        )
+        jax.block_until_ready(result.cmd)
+        self._budgeter.record(
+            _time.monotonic() - t0, int(np.max(np.asarray(stats.max_iterations)))
         )
         self._opt_vector, self._slack = z_out, slack
         self._prev_cmd = result.cmd

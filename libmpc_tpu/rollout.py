@@ -49,7 +49,7 @@ def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Ro
     batch = x0.shape[:-1]
 
     @functools.partial(jax.jit, static_argnames=())
-    def run(prob, y_ref, u_ref, du_ref, u_meas, x0, u0):
+    def run(prob, built, y_ref, u_ref, du_ref, u_meas, x0, u0):
         warm_x = jnp.zeros(batch + (dims.nz,), c.dtype)
         warm_y = jnp.zeros(batch + (dims.m,), c.dtype)
 
@@ -57,7 +57,7 @@ def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Ro
             x, u, wx, wy, hw = carry
             result, seq, sol_x, sol_y, iters = lmpc_mod.solve_body(
                 dims, params, prob, x, u, y_ref, u_ref, du_ref, u_meas,
-                wx, wy, hw, u,
+                wx, wy, hw, u, None, built,
             )
             x_next = plant_fn(x, result.cmd, k)
             out = (x, result.cmd, result.cost, result.status, iters)
@@ -69,8 +69,11 @@ def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Ro
         )
         return x_fin, xs, us, costs, sts, its
 
+    # the time-invariant work (assembly, Ruiz, KKT inverse) is hoisted out
+    # of the scanned step entirely — one setup for the whole rollout
     x_fin, xs, us, costs, sts, its = run(
-        c._prob, c._y_ref, c._u_ref, c._du_ref, c._u_meas, x0, last_u
+        c._prob, c._ensure_built(), c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+        x0, last_u
     )
     return _pack(x_fin, xs, us, costs, sts, its, batch)
 

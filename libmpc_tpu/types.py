@@ -75,10 +75,15 @@ class ConstraintsType(enum.IntEnum):
 class Parameters:
     """Shared optimizer parameters (reference: include/mpc/Types.hpp:99-115).
 
-    ``time_limit`` is accepted for surface parity but not enforced: compiled
-    device programs cannot consult a wall clock mid-solve, so the iteration
-    budget (``maximum_iteration``) is the only in-solve stopping resource.
-    Callers needing a hard deadline should bound iterations accordingly.
+    ``time_limit`` (seconds, 0 = unlimited) is enforced as a *measured-cost
+    iteration budget*: a compiled device program cannot consult a wall clock
+    mid-solve, so the controller measures its own per-iteration wall cost and
+    converts the deadline into a traced iteration cap
+    (see :mod:`libmpc_tpu.utils.deadline`).  Solves stopped by the cap return
+    the reference's time-limit statuses (``OSQP_TIME_LIMIT_REACHED`` /
+    ``NLOPT_MAXTIME_REACHED``) with the partial iterate.  Enforcement begins
+    once a calibration measurement exists (the first post-compilation solve
+    runs unlimited).
     """
 
     maximum_iteration: int = 100
@@ -122,11 +127,15 @@ class LParameters(Parameters):
 class NLParameters(Parameters):
     """SQP parameters (reference: include/mpc/Types.hpp:121-140).
 
-    ``hessian_reg`` (TPU-native extension) selects how the exact Lagrangian
-    Hessian is convexified for the QP subproblem: ``"eigh"`` clips
-    eigenvalues (tightest model, costs an eigendecomposition per iteration),
-    ``"gershgorin"`` shifts by a Gershgorin bound (cheap O(n^2), more
-    conservative when indefinite).
+    ``hessian_reg`` (TPU-native extension) selects the curvature model of
+    the QP subproblem: ``"eigh"`` (default) uses the exact Lagrangian
+    Hessian with eigenvalue clipping — the tightest model, fewest SQP
+    iterations, and batched eigh is cheap on TPU (measured ~0.08 ms for
+    1024x26x26); ``"bfgs"`` maintains a damped-BFGS quasi-Newton matrix
+    (the family SLSQP itself uses — algorithm-parity mode, ~2-3x more
+    iterations); ``"gershgorin"``/``"power"`` use the exact Hessian shifted
+    by a Gershgorin bound / a power-iteration estimate of ``-lambda_min``
+    (no factorization at all, more conservative steps).
     """
 
     relative_ftol: float = -1.0
@@ -135,6 +144,9 @@ class NLParameters(Parameters):
     absolute_xtol: float = -1.0
     hard_constraints: bool = True
     hessian_reg: str = "eigh"
+    # TPU-native extension (the reference has verbose only on LParameters):
+    # prints a per-solve SQP iteration summary, mirroring LMPC's behavior
+    verbose: bool = False
 
 
 @jax.tree_util.register_dataclass

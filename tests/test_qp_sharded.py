@@ -66,6 +66,54 @@ class TestShardedQP:
         for i in range(B):
             assert np.allclose(np.asarray(inputs)[i, 0], golden, atol=1e-4)
 
+    def test_badly_scaled_full_feature_parity(self):
+        """The row-sharded path is the SAME kernel as the single-chip one:
+        on a badly scaled QP (needing Ruiz + adaptive rho + polish) status
+        and solution must match the unsharded solve."""
+        rng = np.random.default_rng(5)
+        n, m, B = 12, 21, 8
+        P, A, q, l, u = random_qp(rng, n, m, batch=B)
+        # wreck the scaling: 1e4 dynamic range on rows and columns
+        row_s = 10.0 ** rng.uniform(-2, 2, size=(m, 1))
+        col_s = 10.0 ** rng.uniform(-2, 2, size=(1, n))
+        A = row_s * A * col_s
+        P = col_s.T * P * col_s
+        l, u = l * row_s[:, 0], u * row_s[:, 0]
+        full = LParameters(
+            maximum_iteration=4000, eps_abs=1e-8, eps_rel=1e-8,
+            rho=0.1, adaptive_rho=True, scaling_iters=10, polish=True,
+        )
+        mesh = mesh_lib.make_mesh(data=2, model=4)
+        args = tuple(map(jnp.asarray, (P, A, q, l, u)))
+        sol = solve_sharded(*args, mesh, full)
+        ref = admm.admm_solve(*args, full)
+        assert np.array_equal(np.asarray(sol.status), np.asarray(ref.status))
+        assert np.all(np.asarray(sol.status) == admm.OSQP_SOLVED)
+        assert np.allclose(np.asarray(sol.x), np.asarray(ref.x), atol=1e-6)
+        for i in range(B):
+            err = kkt_error(P, A, q[i], l[i], u[i],
+                            np.asarray(sol.x[i]), np.asarray(sol.y[i]))
+            assert err < 1e-5, f"instance {i}: {err}"
+
+    def test_infeasibility_certificate_sharded(self):
+        """Primal-infeasibility certificates work across row shards."""
+        rng = np.random.default_rng(6)
+        n, m, B = 6, 10, 4
+        P, A, q, _, _ = random_qp(rng, n, m, batch=B)
+        # contradictory rows: a x <= -1 and a x >= 1
+        A = np.asarray(A)
+        A[1] = A[0]
+        l = np.full((B, m), -np.inf)
+        u = np.full((B, m), np.inf)
+        l[:, 0], u[:, 0] = -np.inf, -1.0
+        l[:, 1], u[:, 1] = 1.0, np.inf
+        full = LParameters(maximum_iteration=4000, eps_abs=1e-8,
+                           eps_rel=1e-8, rho=0.1)
+        mesh = mesh_lib.make_mesh(data=2, model=4)
+        sol = solve_sharded(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                            jnp.asarray(l), jnp.asarray(u), mesh, full)
+        assert np.all(np.asarray(sol.status) == admm.OSQP_PRIMAL_INFEASIBLE)
+
     def test_uneven_batch_raises(self):
         rng = np.random.default_rng(1)
         P, A, q, l, u = random_qp(rng, 6, 9, batch=3)
