@@ -36,16 +36,15 @@ def main():
     dtype = jnp.float32
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     c = _quadrotor_setup(dtype)
-    # production solver settings: warm-started steady-state control steps.
-    # polish=False: in float32 the active-set polish never improves on the
-    # refined ADMM iterate (its acceptance test rejects it) while costing
-    # ~5x the whole solve in batched small-matrix factorizations, so the
-    # throughput configuration skips it; accuracy is reported in the output.
-    # rho=0.01 (vs the reference's 1e-6 default) roughly halves the float32
-    # accuracy floor on this problem family; parity defaults are unchanged.
+    # production solver settings: warm-started steady-state control steps
+    # with the shared-preconditioner PCG polish (pure batched matmuls, ~one
+    # ADMM block of cost) — float32 ADMM alone stalls at ~1e-3 residuals,
+    # the polish recovers ~2e-5 command accuracy vs the f64 golden.
+    # rho=0.01 (vs the reference's 1e-6 default) improves the float32
+    # iteration floor on this problem family; parity defaults are unchanged.
     c.set_optimizer_parameters(
-        LParameters(maximum_iteration=250, enable_warm_start=True, polish=False,
-                    rho=0.01)
+        LParameters(maximum_iteration=250, enable_warm_start=True,
+                    polish=True, polish_mode="shared", rho=0.01)
     )
     dims, params, prob = c.dims, c._params, c._prob
 
@@ -95,11 +94,22 @@ def main():
 
     nlmpc_rate, nlmpc_success = _nlmpc_bench()
 
+    # reference-equivalent CPU anchor (misc/reference_anchor.py)
+    anchor_path = os.path.join(os.path.dirname(__file__), "BASELINE_ANCHOR.json")
+    vs_ref = None
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as fh:
+            anchor = json.load(fh)
+        ref_rate = anchor.get("lmpc_quadrotor", {}).get("solves_per_s")
+        if ref_rate:
+            vs_ref = round(float(solves_per_s) / float(ref_rate), 1)
+
     out = {
         "metric": "quadrotor_lmpc_batched_solves_per_s",
         "value": round(float(solves_per_s), 1),
         "unit": "solves/s",
         "vs_baseline": round(float(solves_per_s) / 10000.0, 3),
+        "vs_reference_cpu": vs_ref,
         "batch": B,
         "step_latency_ms_mean": round(float(lat.mean() * 1e3), 3),
         "step_latency_ms_p99": round(float(np.quantile(lat, 0.99) * 1e3), 3),
@@ -145,12 +155,12 @@ def _nlmpc_bench(B: int = 1024):
 
 
 def _golden_check(c, dims, dtype):
-    """Achievable float32 accuracy on the golden instance, solved with
-    accuracy-oriented settings (tight eps, fixed rho, no iteration cap
-    pressure) — separate from the throughput configuration above."""
+    """Float32 accuracy of the PRODUCTION path on the golden instance: the
+    same solver configuration the throughput loop uses (ADMM + PCG polish)
+    solving the golden problem, command compared against the reference's
+    double-precision golden (test/LMPC/test_common.cpp:230-236)."""
     import jax.numpy as jnp
 
-    from libmpc_tpu import LParameters
     from libmpc_tpu.lmpc import problem as qp
     from libmpc_tpu.ops import admm
 
@@ -161,15 +171,11 @@ def _golden_check(c, dims, dtype):
         dims, prob, lineq, uineq, jnp.zeros((12,), dtype), jnp.zeros((4,), dtype),
         c._y_ref, c._u_ref, c._du_ref, c._u_meas,
     )
-    par = LParameters(
-        maximum_iteration=3000, eps_abs=1e-6, eps_rel=1e-6,
-        rho=0.01, adaptive_rho=False, polish=False,
-    )
-    sol = admm.admm_solve(P, A, q, l, u, par,
+    sol = admm.admm_solve(P, A, q, l, u, c._params,
                           eq_mask=jnp.arange(dims.m) < dims.n_eq)
     states, inputs, _ = qp.unpack_solution(dims, prob, sol.x, c._u_meas)
     err = np.abs(np.asarray(inputs)[0] - golden).max()
-    return round(float(err), 6)
+    return round(float(err), 8)
 
 
 if __name__ == "__main__":

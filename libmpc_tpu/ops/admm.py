@@ -178,6 +178,13 @@ class PreparedQP(NamedTuple):
     loose_mask: jax.Array  # (m,) rows loose in every instance
     M0: jax.Array  # (n, n) KKT matrix at the initial rho
     Minv0: jax.Array  # (n, n) its explicit inverse
+    Mpinv: jax.Array  # (n, n) shared polish base inverse:
+    # (P + delta I + delta^-1 Aeq' Aeq)^-1 on the UNSCALED problem — the
+    # equality rows are active in every instance, so each instance's
+    # active-set system is this matrix plus a low-rank term over its few
+    # active inequality rows, handled exactly by a Woodbury correction
+    G: jax.Array  # (m, n) A @ Mpinv — Woodbury back-substitution operator
+    HAA: jax.Array  # (m, m) A @ Mpinv @ A' — Woodbury capacitance source
 
 
 def _rho_bounds(dtype, params):
@@ -224,9 +231,21 @@ def prepare_qp(P, A, q_ref, eq_mask, loose_mask, params: LParameters,
             Ps, As, _rho_vec_of(rho_init, eq_mask, loose_mask),
             jnp.asarray(sigma_v, dtype), axis_rows,
         )
+        # shared polish base matrix on the UNSCALED problem (polish operates
+        # unscaled): equality rows are active in every instance
+        delta = jnp.asarray(_polish_delta_shared(dtype), dtype)
+        eye = jnp.eye(n, dtype=dtype)
+        w_eq = eq_mask.astype(dtype) / delta
+        Mp = P + delta * eye + _psum_rows((A.T * w_eq[None, :]) @ A, axis_rows)
+        Mpinv = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Mp), eye
+        )
+        G = A @ Mpinv
+        HAA = G @ A.T  # valid on the local row block under axis_rows
         return PreparedQP(
             Ps=Ps, As=As, d=d, e=e, c=c,
             eq_mask=eq_mask, loose_mask=loose_mask, M0=M0, Minv0=Minv0,
+            Mpinv=Mpinv, G=G, HAA=HAA,
         )
 
 
@@ -577,9 +596,151 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
     return state._replace(status=status)
 
 
+def _polish_delta(dtype) -> float:
+    """Dense-polish penalty regularizer: float32 needs a larger delta (and
+    more refinement) than f64; delta must stay below the KKT system's
+    smallest relevant eigenvalue or the refinement iteration diverges."""
+    return 1e-4 if dtype == jnp.float32 else 1e-6
+
+
+def _polish_delta_shared(dtype) -> float:
+    """Shared-polish penalty regularizer.  The shared base matrix
+    ``Mp = P + delta I + delta^-1 Aeq'Aeq`` has condition ~1/delta^2, and it
+    must remain accurately *factorizable* (kappa * eps << 1) in the working
+    precision, so the shared mode uses a larger delta than the dense mode
+    and relies on the outer refinement against the true KKT system to
+    contract the O(delta) penalty bias (each pass multiplies the error by
+    ~delta)."""
+    return 1e-2 if dtype == jnp.float32 else 1e-4
+
+
+def _polish_active_set(l, u, sol_y, eq_mask, dtype, delta):
+    """Active rows from dual signs (OSQP polish.c) -> (active, b, w)."""
+    low_active = (sol_y < 0) | (eq_mask[None, :] & (sol_y <= 0))
+    upp_active = sol_y > 0
+    active = low_active | upp_active
+    b = jnp.where(low_active, l, jnp.where(upp_active, u, 0.0))
+    w = active.astype(dtype) / delta  # (B, m) row weights
+    return active, b, w
+
+
+def _polish_accept(P, A, q, l, u, sol_x, sol_y, sol_z, x_pol, y_pol,
+                   active, axis_rows):
+    """Per-instance acceptance: keep the polished solution only if it
+    reduces both residual norms (OSQP polish.c:polish())."""
+    y_pol = jnp.where(active, y_pol, 0.0)
+    z_pol = jnp.clip(x_pol @ A.T, l, u)
+
+    def residuals(x, z, y):
+        pri = _pmax_rows(_inf_norm(x @ A.T - z), axis_rows)
+        dua = _inf_norm(x @ P + q + _psum_rows(y @ A, axis_rows))
+        return pri, dua
+
+    pri0, dua0 = residuals(sol_x, sol_z, sol_y)
+    pri1, dua1 = residuals(x_pol, z_pol, y_pol)
+    better = (pri1 <= pri0) & (dua1 <= dua0)
+    bsel = better[:, None]
+    return (
+        jnp.where(bsel, x_pol, sol_x),
+        jnp.where(bsel, y_pol, sol_y),
+        jnp.where(bsel, z_pol, sol_z),
+        jnp.where(better, pri1, pri0),
+        jnp.where(better, dua1, dua0),
+    )
+
+
+def _polish_shared(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters,
+                   eq_mask, prepared: PreparedQP):
+    """Active-set polish with ONE shared factorization + exact per-instance
+    Woodbury corrections — the TPU-first polish.
+
+    The per-instance active-set system is
+    ``K_i = Mp + delta^-1 U_i U_i'`` where ``Mp = P + delta I +
+    delta^-1 Aeq'Aeq`` is shared (equality rows are active in every
+    instance) and ``U_i = A[active ineq rows of i]'`` is low-rank (few
+    active inequality rows per instance, capped at ``k_max``).  The Woodbury
+    identity solves ``K_i x = r`` exactly with only gathers, batched
+    (k x k) Cholesky factorizations, and shared-matrix matmuls::
+
+        K^-1 r = Mpinv r - Mpinv U (delta I + U' Mpinv U)^-1 U' Mpinv r
+        U' Mpinv r   = (r Mpinv A')[idx]          (gather)
+        U' Mpinv U   = HAA[idx, idx]              (gather, HAA = A Mpinv A')
+        Mpinv U y    = scatter(y) @ G             (G = A Mpinv)
+
+    Outer refinement against the TRUE optimality system (as in the dense
+    mode) contracts the O(delta) penalty bias each pass.  Instances with
+    more than ``k_max`` active inequality rows get an inexact correction and
+    are caught by the acceptance test (kept unpolished).  Cost: ~one ADMM
+    block instead of B dense (n,n) factorizations.
+    """
+    dtype = P.dtype
+    B = q.shape[0]
+    m = A.shape[0]
+    delta = jnp.asarray(_polish_delta_shared(dtype), dtype)
+    # enough passes that the refined duals beat an already-tight raw dual
+    # residual (the acceptance test is AND over both residuals)
+    outer_iters = max(6, params.polish_refine_iter)
+    k_max = min(params.polish_active_cap, m)
+    Mpinv, G, HAA = prepared.Mpinv, prepared.G, prepared.HAA
+
+    active, bnd, w = _polish_active_set(l, u, sol_y, eq_mask, dtype, delta)
+
+    # per-instance indices of active inequality rows, padded with inactive
+    # rows (masked out of the capacitance)
+    extra = active & ~eq_mask[None, :]
+    order = jnp.argsort(jnp.where(extra, 0, 1), axis=-1, stable=True)
+    idx = order[:, :k_max]  # (B, k)
+    valid = jnp.take_along_axis(extra, idx, axis=-1)  # (B, k)
+
+    # batched capacitance C = delta I + (U' Mpinv U masked); invalid slots
+    # become decoupled unit equations
+    Ck = jnp.take(HAA, idx, axis=0)  # (B, k, m)
+    Ck = jnp.take_along_axis(Ck, idx[:, None, :], axis=-1)  # (B, k, k)
+    pair = valid[:, :, None] & valid[:, None, :]
+    eye_k = jnp.eye(k_max, dtype=dtype)
+    C = jnp.where(pair, Ck, 0.0) + delta * eye_k[None] \
+        + jnp.where(valid, 0.0, 1.0)[:, :, None] * eye_k[None]
+    L = jnp.linalg.cholesky(C)
+
+    import jax.scipy.linalg as jsl
+
+    def K_solve(r):  # (B, n) -> exact K_i^-1 r
+        t = r @ Mpinv
+        v = jnp.take_along_axis(t @ A.T, idx, axis=-1)  # (B, k)
+        v = jnp.where(valid, v, 0.0)
+        y = jsl.solve_triangular(L, v[..., None], lower=True)
+        y = jsl.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False
+        )[..., 0]
+        y = jnp.where(valid, y, 0.0)
+        y_m = jnp.zeros((B, m), dtype).at[
+            jnp.arange(B)[:, None], idx
+        ].add(y)
+        return t - y_m @ G
+
+    # outer refinement against the TRUE optimality system: each pass
+    # contracts the O(delta) penalty bias by ~delta
+    x = sol_x  # the ADMM iterate is already close
+    nu = jnp.where(active, sol_y, 0.0)
+
+    def outer(_, carry):
+        x, nu = carry
+        r1 = -q - x @ P - jnp.where(active, nu, 0.0) @ A
+        r2 = jnp.where(active, bnd - x @ A.T, 0.0)
+        dx = K_solve(r1 + (w * r2) @ A)
+        dnu = w * (dx @ A.T - r2)
+        return x + dx, nu + dnu
+
+    x_pol, y_pol = jax.lax.fori_loop(0, outer_iters, outer, (x, nu))
+    return _polish_accept(
+        P, A, q, l, u, sol_x, sol_y, sol_z, x_pol, y_pol, active, None
+    )
+
+
 def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask,
             axis_rows=None):
-    """Active-set polish (OSQP polish.c, penalty/Schur-complement form).
+    """Active-set polish (OSQP polish.c, penalty/Schur-complement form) with
+    per-instance dense factorizations.
 
     Identify lower/upper-active rows from the dual signs, then solve the
     stabilized equality-constrained QP::
@@ -590,26 +751,15 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask,
     OSQP's reduced factorization (which changes dimension per active set),
     this keeps a fixed (n,n) shape so it batches: active sets enter only as a
     per-instance 0/1 row weight.  A few iterative-refinement steps recover the
-    accuracy lost to the penalty term.  Per-instance acceptance: keep the
-    polished solution only if it reduces both residual norms (OSQP
-    polish.c:polish()).
+    accuracy lost to the penalty term.
     """
     dtype = P.dtype
     n = P.shape[1]
-    # float32 needs a larger regularizer (and more refinement sweeps) than
-    # the f64 path; delta must stay below the KKT system's smallest relevant
-    # eigenvalue or the refinement iteration diverges.  Note the overall f32
-    # accuracy is bounded by the conditioning of the *rounded problem data*
-    # (kappa * eps_f32 ~ 1e-4 for the quadrotor family), not by this solve.
     f32 = dtype == jnp.float32
-    delta = jnp.asarray(1e-4 if f32 else 1e-6, dtype)
+    delta = jnp.asarray(_polish_delta(dtype), dtype)
     refine_iters = max(params.polish_refine_iter, 15) if f32 else params.polish_refine_iter
 
-    low_active = (sol_y < 0) | (eq_mask[None, :] & (sol_y <= 0))
-    upp_active = sol_y > 0
-    active = low_active | upp_active
-    b = jnp.where(low_active, l, jnp.where(upp_active, u, 0.0))
-    w = active.astype(dtype) / delta  # (B, m) row weights
+    active, b, w = _polish_active_set(l, u, sol_y, eq_mask, dtype, delta)
 
     eye = jnp.eye(n, dtype=dtype)
 
@@ -641,24 +791,8 @@ def _polish(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters, eq_mask,
         return x, nu
 
     x_pol, y_pol = jax.vmap(solve_one)(q, w, b, active)
-    y_pol = jnp.where(active, y_pol, 0.0)
-    z_pol = jnp.clip(x_pol @ A.T, l, u)
-
-    def residuals(x, z, y):
-        pri = _pmax_rows(_inf_norm(x @ A.T - z), axis_rows)
-        dua = _inf_norm(x @ P + q + _psum_rows(y @ A, axis_rows))
-        return pri, dua
-
-    pri0, dua0 = residuals(sol_x, sol_z, sol_y)
-    pri1, dua1 = residuals(x_pol, z_pol, y_pol)
-    better = (pri1 <= pri0) & (dua1 <= dua0)
-    bsel = better[:, None]
-    return (
-        jnp.where(bsel, x_pol, sol_x),
-        jnp.where(bsel, y_pol, sol_y),
-        jnp.where(bsel, z_pol, sol_z),
-        jnp.where(better, pri1, pri0),
-        jnp.where(better, dua1, dua0),
+    return _polish_accept(
+        P, A, q, l, u, sol_x, sol_y, sol_z, x_pol, y_pol, active, axis_rows
     )
 
 
@@ -776,9 +910,17 @@ def _admm_solve_hp(
     pri_res, dua_res = state.pri_res, state.dua_res
 
     if params.polish:
-        x_p, y_p, z_p, pri_p, dua_p = _polish(
-            P, A, q, l, u, x, y, z, params, eq_mask, axis_rows
-        )
+        # the shared-factorization polish gathers cross-row Woodbury blocks,
+        # which does not compose with row sharding — the dense mode (psum'd
+        # per-instance factorizations) covers that case
+        if params.polish_mode == "shared" and axis_rows is None:
+            x_p, y_p, z_p, pri_p, dua_p = _polish_shared(
+                P, A, q, l, u, x, y, z, params, eq_mask, prepared
+            )
+        else:
+            x_p, y_p, z_p, pri_p, dua_p = _polish(
+                P, A, q, l, u, x, y, z, params, eq_mask, axis_rows
+            )
         ok = (state.status == OSQP_SOLVED) | (state.status == OSQP_SOLVED_INACCURATE)
         sel = ok[:, None]
         x = jnp.where(sel, x_p, x)

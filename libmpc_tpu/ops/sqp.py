@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import LParameters, NLParameters
-from . import admm
+from . import admm, pdip
 
 # -- nlopt result values (nlopt.hpp) ----------------------------------------
 NLOPT_FAILURE = -1
@@ -46,6 +46,7 @@ NLOPT_MAXTIME_REACHED = 6
 _LS_STEPS = 12  # step ladder 2^0 .. 2^-11 (+1 SOC candidate)
 _INTERNAL_ACC = 1e-7  # optimality tolerance when no user tol is set
 _MAX_LS_FAILS = 4
+_MAX_STALL = 6
 _ARMIJO_C1 = 1e-4
 
 
@@ -148,6 +149,7 @@ def _sqp_solve_hp(
         hess_L = jax.hessian(lagrangian)
 
     f32 = dtype == jnp.float32
+    use_pdip = params.inner_qp == "pdip"
     qp_par = _qp_params(f32)
     acc = 1e-5 if f32 else _INTERNAL_ACC
     eq_mask = jnp.arange(m_qp) < me
@@ -181,6 +183,9 @@ def _sqp_solve_hp(
         viol: jax.Array
         qp_x: jax.Array  # inner-QP warm start: previous direction
         qp_y: jax.Array  # inner-QP warm start: previous duals
+        f_best: jax.Array  # stagnation tracking: best objective seen
+        viol_best: jax.Array  # stagnation tracking: best violation seen
+        stall: jax.Array  # iterations without meaningful progress
         # quasi-Newton state ("bfgs" mode; inert under exact-Hessian modes)
         Bmat: jax.Array  # (nz, nz) PSD curvature model
         z_prev: jax.Array  # iterate the stored derivatives belong to
@@ -204,6 +209,9 @@ def _sqp_solve_hp(
         viol=constraint_viol(ce0, ci0),
         qp_x=jnp.zeros((nz,), dtype),
         qp_y=jnp.zeros((m_qp,), dtype),
+        f_best=f0,
+        viol_best=constraint_viol(ce0, ci0),
+        stall=jnp.asarray(0, jnp.int32),
         Bmat=jnp.eye(nz, dtype=dtype),
         z_prev=z0,
         g_prev=jnp.zeros((nz,), dtype),
@@ -325,21 +333,91 @@ def _sqp_solve_hp(
 
         # -- QP subproblem:  min 1/2 d'Bd + g'd
         #    s.t. Je d = -ce ; Ji d <= -ci ; lb-z <= d <= ub-z ---------------
-        A_qp = jnp.concatenate([Je, Ji, jnp.eye(nz, dtype=dtype)], axis=0)
-        l_qp = jnp.concatenate(
-            [-ce, jnp.full((mi,), -jnp.inf, dtype), finite_lb - s.z]
-        )
-        u_qp = jnp.concatenate([-ce, -ci, finite_ub - s.z])
-        # warm-start each subproblem from the previous SQP iteration's
-        # direction/duals — across iterations the QP changes slowly, so the
-        # inner ADMM typically converges in a fraction of the cold iterations
-        sol = admm.admm_solve(
-            B, A_qp, g, l_qp, u_qp, params=qp_par, eq_mask=eq_mask,
-            warm_x=s.qp_x, warm_y=s.qp_y,
-        )
-        d = sol.x
-        lam_e = sol.y[:me]
-        lam_i = sol.y[me : me + mi]
+        if use_pdip:
+            # interior-point engine: box bounds folded into inequality rows
+            # (+-identity), infinite bounds masked out of the barrier.
+            #
+            # Elastic relaxation (the analog of SLSQP's augmented problem
+            # for inconsistent linearizations, Kraft's slsqp.f "relaxed
+            # problem with bound on x(n1)"): one extra FREE variable xi
+            # retreats every constraint toward its value at d=0, so the
+            # subproblem is ALWAYS feasible (d=0, xi=1 satisfies it) — an
+            # interior-point method fails outright on an inconsistent QP
+            # that ADMM merely solves approximately.  Unlike Kraft's
+            # bounded-xi/linear-penalty form (which plants a degenerate
+            # complementarity pair at xi=0 that stalls an IPM), xi here is
+            # unconstrained with a large QUADRATIC penalty: at the optimum
+            # xi = (nu'ce + lam'ci+)/rho_q, so the equality bias
+            # xi*|ce| ~ (dual/rho_q)*|ce|^2 vanishes QUADRATICALLY in the
+            # constraint violation — the same order as the linearization
+            # error, preserving the SQP's Newton-rate constraint
+            # convergence while costing no extra rows.
+            ci_pos = jnp.maximum(ci, 0.0)
+            dual_scale = (
+                jnp.max(jnp.concatenate([
+                    jnp.abs(s.lam_e), jnp.abs(s.lam_i),
+                    s.mu_e, s.mu_i, jnp.ones((1,), dtype),
+                ]))
+            )
+            rho_q = (1e4 if f32 else 1e8) * dual_scale * (
+                1.0 + jnp.sum(jnp.abs(ce)) + jnp.sum(ci_pos)
+            )
+            zero_col = jnp.zeros((nz, 1), dtype)
+            B_aug = (
+                jnp.zeros((nz + 1, nz + 1), dtype)
+                .at[:nz, :nz].set(B)
+                .at[nz, nz].set(rho_q)
+            )
+            g_aug = jnp.concatenate([g, jnp.zeros((1,), dtype)])
+            Je_aug = jnp.concatenate([Je, -ce[:, None]], axis=1)
+            Ji_all = jnp.concatenate(
+                [
+                    jnp.concatenate([Ji, -ci_pos[:, None]], axis=1),
+                    jnp.concatenate([jnp.eye(nz, dtype=dtype), zero_col], axis=1),
+                    jnp.concatenate([-jnp.eye(nz, dtype=dtype), zero_col], axis=1),
+                ],
+                axis=0,
+            )
+            bi_all = jnp.concatenate([-ci, finite_ub - s.z, s.z - finite_lb])
+            mask_all = jnp.concatenate(
+                [jnp.ones((mi,), bool), jnp.isfinite(ub), jnp.isfinite(lb)]
+            )
+            ip = pdip.pdip_solve(
+                B_aug, g_aug, Je_aug, -ce, Ji_all, bi_all, mask_all,
+                n_iters=30, eps=1e-7 if f32 else 1e-10,
+            )
+            # defensive: a degenerate subproblem must not poison the outer
+            # iteration — a zero direction is simply rejected by the line
+            # search and the multiplier estimates keep their last values
+            ip_ok = (
+                jnp.all(jnp.isfinite(ip.d))
+                & jnp.all(jnp.isfinite(ip.nu))
+                & jnp.all(jnp.isfinite(ip.lam))
+            )
+            d = jnp.where(ip_ok, ip.d[:nz], 0.0)
+            lam_e = jnp.where(ip_ok, ip.nu, s.lam_e)
+            lam_i = jnp.where(ip_ok, ip.lam[:mi], s.lam_i)
+            qp_x_new = d
+            qp_y_new = s.qp_y
+        else:
+            A_qp = jnp.concatenate([Je, Ji, jnp.eye(nz, dtype=dtype)], axis=0)
+            l_qp = jnp.concatenate(
+                [-ce, jnp.full((mi,), -jnp.inf, dtype), finite_lb - s.z]
+            )
+            u_qp = jnp.concatenate([-ce, -ci, finite_ub - s.z])
+            # warm-start each subproblem from the previous SQP iteration's
+            # direction/duals — across iterations the QP changes slowly, so
+            # the inner ADMM typically converges in a fraction of the cold
+            # iterations
+            sol = admm.admm_solve(
+                B, A_qp, g, l_qp, u_qp, params=qp_par, eq_mask=eq_mask,
+                warm_x=s.qp_x, warm_y=s.qp_y,
+            )
+            d = sol.x
+            lam_e = sol.y[:me]
+            lam_i = sol.y[me : me + mi]
+            qp_x_new = sol.x
+            qp_y_new = sol.y
 
         # -- penalty update (SLSQP rule: mu = max(|lam|, (mu+|lam|)/2));
         # after a stalled line search, drop the accumulated history and
@@ -450,7 +528,18 @@ def _sqp_solve_hp(
                 step_norm <= params.relative_xtol * jnp.max(jnp.abs(z_new))
             )
         near_feas = viol_new <= jnp.sqrt(acc)
-        roundoff = ls_fails >= _MAX_LS_FAILS
+        # stagnation detector: at the working precision's noise floor the
+        # merit can bounce by +-eps-level amounts forever (each tiny
+        # decrease resets ls_fails, so the consecutive-failure exit never
+        # fires); declare roundoff-limited after _MAX_STALL iterations in
+        # which neither the objective nor the violation improved by more
+        # than a ~30-ulp margin — the analog of SLSQP's acc-based exit
+        eps_m = 1.2e-7 if f32 else 2.2e-16
+        tol_f = 32.0 * eps_m * (1.0 + jnp.abs(s.f_best))
+        tol_v = 32.0 * eps_m * (1.0 + jnp.abs(s.viol_best))
+        improved = (f_new < s.f_best - tol_f) | (viol_new < s.viol_best - tol_v)
+        stall = jnp.where(improved, 0, s.stall + 1)
+        roundoff = (ls_fails >= _MAX_LS_FAILS) | (stall >= _MAX_STALL)
 
         status = jnp.where(
             kkt_ok,
@@ -466,26 +555,38 @@ def _sqp_solve_hp(
             ),
         ).astype(jnp.int32)
 
+        # freeze terminated instances: under vmap the while_loop keeps
+        # applying the body to the whole batch until EVERY instance's cond
+        # is false — without this gate a converged instance would keep
+        # taking (noise-level) steps and its freshly recomputed status
+        # could flip back to 0, un-converging it and dragging the entire
+        # batch to maximum_iteration
+        act = s.status == 0
         return Carry(
-            z=z_new,
-            lam_e=lam_e,
-            lam_i=lam_i,
-            f=f_new,
-            mu_e=mu_e,
-            mu_i=mu_i,
-            it=s.it + 1,
-            status=status,
-            ls_fails=ls_fails,
-            viol=viol_new,
-            qp_x=sol.x,
-            qp_y=sol.y,
-            Bmat=B if use_bfgs else s.Bmat,
-            z_prev=s.z,
-            g_prev=g,
-            Je_prev=Je,
-            Ji_prev=Ji,
-            have_prev=jnp.asarray(True),
-            have_scaled=s.have_scaled | (ok_upd if use_bfgs else False),
+            z=jnp.where(act, z_new, s.z),
+            lam_e=jnp.where(act, lam_e, s.lam_e),
+            lam_i=jnp.where(act, lam_i, s.lam_i),
+            f=jnp.where(act, f_new, s.f),
+            mu_e=jnp.where(act, mu_e, s.mu_e),
+            mu_i=jnp.where(act, mu_i, s.mu_i),
+            it=s.it + jnp.where(act, 1, 0),
+            status=jnp.where(act, status, s.status),
+            ls_fails=jnp.where(act, ls_fails, s.ls_fails),
+            viol=jnp.where(act, viol_new, s.viol),
+            qp_x=jnp.where(act, qp_x_new, s.qp_x),
+            qp_y=jnp.where(act, qp_y_new, s.qp_y),
+            f_best=jnp.where(act, jnp.minimum(s.f_best, f_new), s.f_best),
+            viol_best=jnp.where(
+                act, jnp.minimum(s.viol_best, viol_new), s.viol_best
+            ),
+            stall=jnp.where(act, stall, s.stall),
+            Bmat=jnp.where(act, B, s.Bmat) if use_bfgs else s.Bmat,
+            z_prev=jnp.where(act, s.z, s.z_prev),
+            g_prev=jnp.where(act, g, s.g_prev),
+            Je_prev=jnp.where(act, Je, s.Je_prev),
+            Ji_prev=jnp.where(act, Ji, s.Ji_prev),
+            have_prev=s.have_prev | act,
+            have_scaled=s.have_scaled | (act & ok_upd if use_bfgs else False),
         )
 
     budget = jnp.asarray(

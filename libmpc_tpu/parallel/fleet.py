@@ -127,7 +127,7 @@ class LMPCFleet:
         from ..ops import admm as admm_mod
 
         built_spec = (P(), P(), bnd_spec, bnd_spec,
-                      admm_mod.PreparedQP(*([P()] * 9)))
+                      admm_mod.PreparedQP(*([P()] * len(admm_mod.PreparedQP._fields))))
 
         def step(prob, built, x0, u0, y_ref, u_ref, du_ref, u_meas,
                  warm_x, warm_y, have_warm, prev_cmd, iter_budget):

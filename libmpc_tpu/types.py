@@ -115,6 +115,15 @@ class LParameters(Parameters):
     # TPU-native extensions
     check_termination: int = 25
     polish_refine_iter: int = 3
+    # polish implementation: "shared" solves each instance's active-set
+    # system with one shared factorization + an exact Woodbury correction
+    # over its (<= polish_active_cap) active inequality rows — gathers,
+    # (k,k) batched Cholesky and shared matmuls only, ~one ADMM block of
+    # cost; "dense" does per-instance (n,n) Cholesky factorizations
+    # (OSQP-like, ~5x a whole solve at large batch, used automatically on
+    # the row-sharded path)
+    polish_mode: str = "shared"
+    polish_active_cap: int = 40
     sigma: float = 1e-6
     scaling_iters: int = 10
     # fuse iteration blocks into a VMEM-resident Pallas kernel on TPU
@@ -144,6 +153,12 @@ class NLParameters(Parameters):
     absolute_xtol: float = -1.0
     hard_constraints: bool = True
     hessian_reg: str = "eigh"
+    # inner QP engine (TPU-native extension): "pdip" solves each SQP
+    # subproblem with a Mehrotra predictor-corrector interior-point method
+    # (~20 iterations of small batched Cholesky factorizations — profiling
+    # shows the previous ADMM inner loop at ~80% of an NLMPC solve on TPU);
+    # "admm" uses the shared OSQP-style kernel
+    inner_qp: str = "pdip"
     # TPU-native extension (the reference has verbose only on LParameters):
     # prints a per-solve SQP iteration summary, mirroring LMPC's behavior
     verbose: bool = False
