@@ -241,6 +241,7 @@ class LMPC:
         )
         self._profiler = Profiler()
         self._last_iters = None
+        self._stats_mode = "sync"  # see set_stats_mode
         # time_limit support: measured-cost iteration budget
         # (reference: Types.hpp:108-110 -> OSQP settings->time_limit)
         self._budgeter = deadline.IterationBudgeter()
@@ -676,23 +677,42 @@ class LMPC:
             jnp.asarray(iter_budget, jnp.int32),
             self._built,
         )
-        jax.block_until_ready(result.cmd)
-        self._budgeter.record(
-            _time.monotonic() - t0, int(np.max(np.asarray(iters)))
+        # "sync" stats block for the result (true per-solve latency in the
+        # profiler); "lazy" stats return right after dispatch so consecutive
+        # solves pipeline on-device — see set_stats_mode.  time_limit
+        # calibration and verbose summaries require the sync path.
+        sync = (
+            self._stats_mode == "sync"
+            or self._params.time_limit > 0
+            or self._params.verbose
         )
+        if sync:
+            jax.block_until_ready(result.cmd)
+            elapsed = _time.monotonic() - t0
+            vals = np.asarray(
+                jnp.stack([jnp.max(iters), jnp.max(result.status)])
+            )
+            self._budgeter.record(elapsed, int(vals[0]))
+            status_val = int(vals[1])
         self._warm_x, self._warm_y = sol_x, sol_y
         self._result, self._sequence = result, seq
         self._last_iters = iters
-        self._profiler.solution_end(result)
+        if sync:
+            self._profiler.solution_end(result, status_max=status_val)
+        else:
+            self._profiler.solution_end(result, lazy=True)
         if self._params.verbose:
             # the OSQP-verbose analog: per-solve iteration summary
             it = np.asarray(iters)
             Logger.instance().info(
                 f"ADMM iterations: mean {it.mean():.1f}, max {int(it.max())}"
             )
-        Logger.instance().info(
-            f"Optimization step completed, status: {np.asarray(result.status)}"
-        )
+        log = Logger.instance()
+        if log.level <= LogLevel.NORMAL:
+            # guarded: the f-string forces a device readback
+            log.info(
+                f"Optimization step completed, status: {np.asarray(result.status)}"
+            )
         return result
 
     def _ensure_built(self):
@@ -720,6 +740,22 @@ class LMPC:
 
     def reset_stats(self) -> None:
         self._profiler.reset()
+
+    def set_stats_mode(self, mode: str) -> None:
+        """TPU-native extension: per-solve stats synchronization policy.
+
+        ``"sync"`` (default) blocks on the device result inside each
+        ``optimize`` so the profiler records true per-solve latency —
+        matching the reference, whose solves are synchronous by nature.
+        ``"lazy"`` returns as soon as the solve is dispatched: solves
+        pipeline on the device with no host round trip per step, statuses
+        are resolved in one batched transfer when stats are read, and the
+        recorded times reflect host dispatch latency only.  Ignored (forced
+        sync) while ``time_limit`` or ``verbose`` are active.
+        """
+        if mode not in ("sync", "lazy"):
+            raise ValueError(f"stats mode must be 'sync' or 'lazy', got {mode!r}")
+        self._stats_mode = mode
 
     # -- checkpoint / resume ---------------------------------------------
     def save_state(self, path: str) -> None:

@@ -102,6 +102,7 @@ class NLMPC:
             input=jnp.zeros((ph + 1, nu), self.dtype),
         )
         self._profiler = Profiler()
+        self._stats_mode = "sync"  # see set_stats_mode
         # time_limit support: measured-cost iteration budget
         # (reference: NLMPC.hpp:142-144 -> nlopt set_maxtime)
         self._budgeter = deadline.IterationBudgeter()
@@ -487,27 +488,44 @@ class NLMPC:
             z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
             self._runtime_params, lb, ub, jnp.asarray(iter_budget, jnp.int32),
         )
-        jax.block_until_ready(result.cmd)
-        self._budgeter.record(
-            _time.monotonic() - t0, int(np.max(np.asarray(iters)))
+        # "sync" stats: block for the device result so profiler/budgeter see
+        # true per-solve latency (one round trip + one stacked readback).
+        # "lazy" stats: return immediately after dispatch — on a
+        # high-latency transport each synchronization costs milliseconds;
+        # statuses are resolved in one batched transfer when stats are read.
+        # time_limit calibration and verbose summaries need the sync path.
+        sync = (
+            self._stats_mode == "sync"
+            or self._params.time_limit > 0
+            or self._params.verbose
         )
-        # populate the host-side status message like the reference's
-        # exception reporting (NLOptimizer.hpp:550-571)
-        status_val = int(np.max(np.asarray(result.status)))
-        if status_val == int(ResultStatus.ERROR):
-            result = dataclasses.replace(
-                result,
-                solver_status_msg=(
-                    "Internal solver error: line search could not make "
-                    "progress (roundoff limited)"
-                ),
+        if sync:
+            jax.block_until_ready(result.cmd)
+            elapsed = _time.monotonic() - t0
+            vals = np.asarray(
+                jnp.stack([jnp.max(iters), jnp.max(result.status)])
             )
+            iters_max, status_val = int(vals[0]), int(vals[1])
+            self._budgeter.record(elapsed, iters_max)
+            # populate the host-side status message like the reference's
+            # exception reporting (NLOptimizer.hpp:550-571)
+            if status_val == int(ResultStatus.ERROR):
+                result = dataclasses.replace(
+                    result,
+                    solver_status_msg=(
+                        "Internal solver error: line search could not make "
+                        "progress (roundoff limited)"
+                    ),
+                )
         self._opt_vector = z_out
         self._current_slack = slack
         self._first_iteration = False
         self._result, self._sequence = result, seq
         self._last_iters = iters
-        self._profiler.solution_end(result)
+        if sync:
+            self._profiler.solution_end(result, status_max=status_val)
+        else:
+            self._profiler.solution_end(result, lazy=True)
         if self._params.verbose:
             it = np.asarray(iters)
             Logger.instance().info(
@@ -560,6 +578,22 @@ class NLMPC:
 
     def reset_stats(self) -> None:
         self._profiler.reset()
+
+    def set_stats_mode(self, mode: str) -> None:
+        """TPU-native extension: per-solve stats synchronization policy.
+
+        ``"sync"`` (default) blocks on the device result inside each
+        ``optimize`` so the profiler records true per-solve latency —
+        matching the reference, whose solves are synchronous by nature.
+        ``"lazy"`` returns as soon as the solve is dispatched: solves
+        pipeline on the device with no host round trip per step, statuses
+        are resolved in one batched transfer when stats are read, and the
+        recorded times reflect host dispatch latency only.  Ignored (forced
+        sync) while ``time_limit`` or ``verbose`` are active.
+        """
+        if mode not in ("sync", "lazy"):
+            raise ValueError(f"stats mode must be 'sync' or 'lazy', got {mode!r}")
+        self._stats_mode = mode
 
     # -- checkpoint / resume ---------------------------------------------
     def save_state(self, path: str) -> None:

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import LParameters, NLParameters
-from . import admm, pdip
+from . import admm, pdip, qp_inner_pallas
 
 # -- nlopt result values (nlopt.hpp) ----------------------------------------
 NLOPT_FAILURE = -1
@@ -149,8 +149,28 @@ def _sqp_solve_hp(
         hess_L = jax.hessian(lagrangian)
 
     f32 = dtype == jnp.float32
-    use_pdip = params.inner_qp == "pdip"
+    # the fused engine is a single-precision Pallas kernel by design; an
+    # f64 solve asking for it gets the accurate interior-point engine (an
+    # f32 inner direction cannot drive the outer loop to 1e-7 stationarity)
+    use_fused = params.inner_qp == "fused" and f32
+    use_pdip = params.inner_qp == "pdip" or (
+        params.inner_qp == "fused" and not f32
+    )
     qp_par = _qp_params(f32)
+    if use_fused:
+        # one fused Pallas kernel per inner-QP batch (TPU); the interpreter
+        # carries the same kernel on CPU test meshes.  f32 settings: the
+        # fused engine is a single-precision kernel by design — f64 solves
+        # keep the XLA engines.
+        fused_solve = qp_inner_pallas.make_inner_qp_solver(
+            sigma=1e-5,
+            alpha=qp_par.alpha,
+            eps_abs=max(qp_par.eps_abs, 5e-6),
+            eps_rel=max(qp_par.eps_rel, 5e-6),
+            max_iter=qp_par.maximum_iteration,
+            check_every=qp_par.check_termination,
+            interpret=jax.default_backend() == "cpu",
+        )
     acc = 1e-5 if f32 else _INTERNAL_ACC
     eq_mask = jnp.arange(m_qp) < me
     big = jnp.asarray(1e20, dtype)
@@ -399,6 +419,28 @@ def _sqp_solve_hp(
             lam_i = jnp.where(ip_ok, ip.lam[:mi], s.lam_i)
             qp_x_new = d
             qp_y_new = s.qp_y
+        elif use_fused:
+            # fused Pallas ADMM: the whole batch of inner QPs solves in one
+            # kernel launch (ops/qp_inner_pallas.py) — host-side Ruiz, in-
+            # kernel Cholesky + iteration loop + adaptive rho
+            A_qp = jnp.concatenate([Je, Ji, jnp.eye(nz, dtype=dtype)], axis=0)
+            l_qp = jnp.concatenate(
+                [-ce, jnp.full((mi,), -jnp.inf, dtype), finite_lb - s.z]
+            )
+            u_qp = jnp.concatenate([-ce, -ci, finite_ub - s.z])
+            loose = (l_qp <= -1e18) & (u_qp >= 1e18)
+            rho_v = admm._rho_vec_of(
+                jnp.asarray(qp_par.rho, dtype), eq_mask, loose
+            )
+            x_f, y_f, _zf, _qi, _qd, _qp, _qdu = fused_solve(
+                B, A_qp, g, l_qp, u_qp, rho_v, s.qp_x, s.qp_y
+            )
+            qp_ok = jnp.all(jnp.isfinite(x_f)) & jnp.all(jnp.isfinite(y_f))
+            d = jnp.where(qp_ok, x_f, 0.0)
+            lam_e = jnp.where(qp_ok, y_f[:me], s.lam_e)
+            lam_i = jnp.where(qp_ok, y_f[me : me + mi], s.lam_i)
+            qp_x_new = d
+            qp_y_new = jnp.where(qp_ok, y_f, s.qp_y)
         else:
             A_qp = jnp.concatenate([Je, Ji, jnp.eye(nz, dtype=dtype)], axis=0)
             l_qp = jnp.concatenate(

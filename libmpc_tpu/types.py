@@ -157,7 +157,10 @@ class NLParameters(Parameters):
     # subproblem with a Mehrotra predictor-corrector interior-point method
     # (~20 iterations of small batched Cholesky factorizations — profiling
     # shows the previous ADMM inner loop at ~80% of an NLMPC solve on TPU);
-    # "admm" uses the shared OSQP-style kernel
+    # "admm" uses the shared OSQP-style kernel; "fused" runs the whole
+    # batch of subproblems in ONE Pallas kernel per SQP iteration
+    # (ops/qp_inner_pallas.py: in-VMEM Cholesky + ADMM loop, batch in
+    # lanes) — float32 solves only, f64 falls back to "pdip"
     inner_qp: str = "pdip"
     # TPU-native extension (the reference has verbose only on LParameters):
     # prints a per-solve SQP iteration summary, mirroring LMPC's behavior

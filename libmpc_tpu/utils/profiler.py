@@ -73,23 +73,45 @@ class Profiler:
     def __init__(self):
         self._stats = SolutionStats()
         self._start = None
+        # lazily-resolved records: (host_elapsed, device max-status scalar).
+        # On accelerators behind a high-latency transport every host<->device
+        # round trip costs milliseconds; deferring the status readback keeps
+        # optimize() fully asynchronous and resolves all pending statuses in
+        # ONE stacked transfer when stats are actually read.
+        self._pending = []
 
     def reset(self):
         self._stats.clear()
+        self._pending = []
 
     def solution_start(self):
         self._start = time.perf_counter()
 
-    def solution_end(self, result: Result) -> float:
+    def solution_end(
+        self, result: Result, lazy: bool = False, status_max=None
+    ) -> float:
         start = time.perf_counter() if self._start is None else self._start
         elapsed = time.perf_counter() - start
-        try:
-            status = ResultStatus(int(result.status))
-        except TypeError:
-            # Batched result: classify by the worst status in the batch.
-            import numpy as np
+        if lazy:
+            # defer the status readback; elapsed here is the host-observed
+            # dispatch latency (the caller did not synchronize)
+            import jax.numpy as jnp
 
-            status = ResultStatus(int(np.max(np.asarray(result.status))))
+            self._pending.append((elapsed, jnp.max(result.status)))
+            self._start = None
+            return elapsed
+        if status_max is not None:
+            # caller already read the batch-max status back — reuse it
+            # instead of paying a second device round trip
+            status = ResultStatus(int(status_max))
+        else:
+            try:
+                status = ResultStatus(int(result.status))
+            except TypeError:
+                # Batched result: classify by the worst status in the batch.
+                import numpy as np
+
+                status = ResultStatus(int(np.max(np.asarray(result.status))))
         self._stats.solutions_states[status] = (
             self._stats.solutions_states.get(status, 0) + 1
         )
@@ -97,7 +119,24 @@ class Profiler:
         return elapsed
 
     def get_stats(self) -> SolutionStats:
+        self._flush()
         return self._stats
+
+    def _flush(self):
+        """Resolve all lazily-recorded solves with a single device transfer."""
+        if not self._pending:
+            return
+        import jax.numpy as jnp
+        import numpy as np
+
+        pending, self._pending = self._pending, []
+        statuses = np.asarray(jnp.stack([s for _, s in pending]))
+        for (elapsed, _), status_val in zip(pending, statuses):
+            status = ResultStatus(int(status_val))
+            self._stats.solutions_states[status] = (
+                self._stats.solutions_states.get(status, 0) + 1
+            )
+            self._add_solution_time(elapsed)
 
     def _add_solution_time(self, elapsed: float):
         s = self._stats
