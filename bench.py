@@ -31,15 +31,16 @@ import jax.numpy as jnp
 def main():
     from __graft_entry__ import _quadrotor_setup
     from libmpc_tpu import LParameters
-    from libmpc_tpu.lmpc.controller import solve_body
+    from libmpc_tpu.lmpc.controller import build_prepared, solve_body
 
     dtype = jnp.float32
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     c = _quadrotor_setup(dtype)
     # production solver settings: warm-started steady-state control steps
-    # with the shared-preconditioner PCG polish (pure batched matmuls, ~one
-    # ADMM block of cost) — float32 ADMM alone stalls at ~1e-3 residuals,
-    # the polish recovers ~2e-5 command accuracy vs the f64 golden.
+    # with the shared-factorization polish (Woodbury corrections + one
+    # compensated-residual anchor + incremental refinement passes) —
+    # float32 ADMM alone stalls at ~1e-3 residuals, the polish recovers
+    # ~1e-5 command accuracy vs the f64 golden.
     # rho=0.01 (vs the reference's 1e-6 default) improves the float32
     # iteration floor on this problem family; parity defaults are unchanged.
     c.set_optimizer_parameters(
@@ -47,15 +48,21 @@ def main():
                     polish=True, polish_mode="shared", rho=0.01)
     )
     dims, params, prob = c.dims, c._params, c._prob
+    # time-invariant setup hoisted out of the control steps (the controller
+    # path caches this in _ensure_built; without it every step re-runs the
+    # Cholesky/Newton polish preparation — ~100 ms at this size)
+    built = build_prepared(dims, params, prob,
+                           c._y_ref, c._u_ref, c._du_ref, c._u_meas)
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=())
-    def step(prob, x0, u0, warm_x, warm_y, have_warm):
+    def step(prob, x0, u0, warm_x, warm_y, have_warm, built):
         result, seq, sol_x, sol_y, iters = solve_body(
             dims, params, prob, x0, u0,
             c._y_ref, c._u_ref, c._du_ref, c._u_meas,
             warm_x, warm_y, have_warm, jnp.zeros_like(u0),
+            built=built,
         )
         return result, sol_x, sol_y, iters
 
@@ -66,9 +73,9 @@ def main():
     warm_y = jnp.zeros((B, dims.m), dtype)
 
     # warm-up: compile + 2 steps to reach the warm-started steady state
-    result, warm_x, warm_y, iters = step(prob, x0, u0, warm_x, warm_y, jnp.asarray(False))
+    result, warm_x, warm_y, iters = step(prob, x0, u0, warm_x, warm_y, jnp.asarray(False), built)
     jax.block_until_ready(warm_x)
-    result, warm_x, warm_y, iters = step(prob, x0, result.cmd, warm_x, warm_y, jnp.asarray(True))
+    result, warm_x, warm_y, iters = step(prob, x0, result.cmd, warm_x, warm_y, jnp.asarray(True), built)
     jax.block_until_ready(warm_x)
 
     # timed steady-state control steps.
@@ -81,7 +88,7 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         result, warm_x, warm_y, iters = step(
-            prob, x0, u, warm_x, warm_y, jnp.asarray(True)
+            prob, x0, u, warm_x, warm_y, jnp.asarray(True), built
         )
         jax.block_until_ready(result.cmd)
         latencies.append(time.perf_counter() - t0)
@@ -96,7 +103,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps):
         result, warm_x, warm_y, iters = step(
-            prob, x0, u, warm_x, warm_y, jnp.asarray(True)
+            prob, x0, u, warm_x, warm_y, jnp.asarray(True), built
         )
         u = result.cmd
     jax.block_until_ready(result.cmd)

@@ -27,10 +27,27 @@ the natural layout for ``lax.scan``/``vmap`` and for batched updates.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _highest_matmul(fn):
+    """Run the assembly at full float32 matmul precision.
+
+    TPU matmuls default to bfloat16 passes; letting the QP *data* round at
+    ~1e-4 relative puts an irreducible kappa-sized error in every solution
+    no matter how well the solver does (measured: the quadrotor golden
+    command error floors at 1.2e-4 from the P assembly alone)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 from ..dims import LDims
 from ..types import default_dtype, inf
@@ -138,6 +155,7 @@ def make_disturbance_model(Bd, Dd, nu: int):
     return ssBv, ssDv
 
 
+@_highest_matmul
 def build_time_invariant(
     dims: LDims, prob: LProblemData
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -243,6 +261,7 @@ def build_time_invariant(
     return P, A, lineq, uineq
 
 
+@_highest_matmul
 def build_time_varying(
     dims: LDims,
     prob: LProblemData,

@@ -185,6 +185,12 @@ class PreparedQP(NamedTuple):
     # active inequality rows, handled exactly by a Woodbury correction
     G: jax.Array  # (m, n) A @ Mpinv — Woodbury back-substitution operator
     HAA: jax.Array  # (m, m) A @ Mpinv @ A' — Woodbury capacitance source
+    Mpinv_lo: jax.Array  # (n, n) double-single low word of Mpinv: a plain
+    # float32 inverse of the ~1/delta^2-conditioned Mp carries ~eps.kappa
+    # SYSTEMATIC error, which caps the polish refinement contraction near 1
+    # on TPU; applying the (hi, lo) pair (two matmuls) removes the
+    # systematic part (setup computes lo = Mpinv (I - Mp Mpinv) with a
+    # compensated residual)
 
 
 def _rho_bounds(dtype, params):
@@ -237,15 +243,35 @@ def prepare_qp(P, A, q_ref, eq_mask, loose_mask, params: LParameters,
         eye = jnp.eye(n, dtype=dtype)
         w_eq = eq_mask.astype(dtype) / delta
         Mp = P + delta * eye + _psum_rows((A.T * w_eq[None, :]) @ A, axis_rows)
-        Mpinv = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(Mp), eye
+        # kappa(Mp) ~ 1/delta^2 overwhelms a raw float32 Cholesky
+        # (eps.kappa > 1).  The spread is diagonal-structural (delta^-1 on
+        # equality-penalized columns vs delta elsewhere), so Jacobi scaling
+        # tames it; two Newton passes X <- X(2I - Ms X) on the scaled
+        # matrix then square the factorization residual down to the
+        # float32 floor for a few (n, n) matmuls at setup time.
+        s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(Mp), 1e-30))
+        Ms = Mp * s[:, None] * s[None, :]
+        Msinv = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Ms), eye
         )
+        for _ in range(2):
+            Msinv = Msinv @ (2.0 * eye - Ms @ Msinv)
+        Mpinv = Msinv * s[:, None] * s[None, :]
+        # double-single low word: E = I - Mp Mpinv via a compensated
+        # product (the plain product would round at exactly the scale of
+        # the error being measured), then lo = Mpinv E.  Applying
+        # (Mpinv + Mpinv_lo) removes the eps.kappa systematic error of the
+        # stored float32 inverse — the polish refinement's contraction
+        # depends on it (see PreparedQP.Mpinv_lo).
+        e_hi, e_lo = _comp_mm(Mp, Mpinv)
+        E = (eye - e_hi) - e_lo
+        Mpinv_lo = Mpinv @ E
         G = A @ Mpinv
         HAA = G @ A.T  # valid on the local row block under axis_rows
         return PreparedQP(
             Ps=Ps, As=As, d=d, e=e, c=c,
             eq_mask=eq_mask, loose_mask=loose_mask, M0=M0, Minv0=Minv0,
-            Mpinv=Mpinv, G=G, HAA=HAA,
+            Mpinv=Mpinv, G=G, HAA=HAA, Mpinv_lo=Mpinv_lo,
         )
 
 
@@ -604,14 +630,66 @@ def _polish_delta(dtype) -> float:
 
 
 def _polish_delta_shared(dtype) -> float:
-    """Shared-polish penalty regularizer.  The shared base matrix
-    ``Mp = P + delta I + delta^-1 Aeq'Aeq`` has condition ~1/delta^2, and it
-    must remain accurately *factorizable* (kappa * eps << 1) in the working
-    precision, so the shared mode uses a larger delta than the dense mode
-    and relies on the outer refinement against the true KKT system to
-    contract the O(delta) penalty bias (each pass multiplies the error by
-    ~delta)."""
+    """Shared-polish penalty regularizer.  The refinement contraction per
+    pass is ~(c.delta + kappa(Mp).eps): delta controls the penalty bias,
+    while the float32 factorization error of the shared base
+    ``Mp = P + delta I + delta^-1 Aeq'Aeq`` (condition ~1/delta^2) grows as
+    delta shrinks.  1e-2 keeps the factorization comfortably inside float32
+    (a smaller delta makes the TPU Cholesky residual O(1) and the
+    refinement diverges outright); the resulting modest ~0.7/pass
+    contraction is paid for with MANY incremental refinement passes, which
+    the compensated-residual scheme makes cheap and exact-residual."""
     return 1e-2 if dtype == jnp.float32 else 1e-4
+
+
+def _split12(a):
+    """Dekker split of float32 into an 8-bit-mantissa head and a tail.
+
+    The head is exactly bfloat16-representable, which matters on TPU: the
+    MXU's float32 path decomposes each operand into bfloat16 passes, so a
+    head x head product is a SINGLE exact bf16 x bf16 pass (8+8 mantissa
+    bits; a 12-bit Dekker head would span two passes whose float32
+    accumulation rounds, destroying the compensation — measured).  The
+    wider tails only enter the low word through plain matmuls whose
+    ~n.eps.2^-8 relative error is below the compensation target.
+    Elementwise float32 ops are IEEE on the VPU."""
+    c = a * 65537.0  # 2^16 + 1 -> 8-bit head, 16-bit tail
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_sum(a, b):
+    """Knuth's error-free addition: s + e == a + b exactly (float32)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _comp_mm(X, M, chunk=32):
+    """Compensated ``X @ M`` -> (hi, lo) double-single pair, float32 ops.
+
+    The head-product partial sums are accumulated per contraction chunk
+    (bounding each partial's rounding to ~chunk.eps) and the chunk partials
+    are combined with error-free TwoSums; the cross/tail products are ~eps
+    of the result and go straight into the low word.  Gives residual-scale
+    cancellation ~eps^2 where a plain float32 matmul leaves ~n.eps — the
+    enabler for polishing to the float32 DATA floor instead of the float32
+    MATVEC floor (measured on the quadrotor golden: 2.4e-6 vs 1.2e-4)."""
+    Xh, Xl = _split12(X)
+    Mh, Ml = _split12(M)
+    K = M.shape[0]
+    hi = None
+    lo = 0.0
+    for c0 in range(0, K, chunk):
+        p = Xh[..., c0 : c0 + chunk] @ Mh[c0 : c0 + chunk, :]
+        if hi is None:
+            hi = p
+        else:
+            hi, e = _two_sum(hi, p)
+            lo = lo + e
+    lo = lo + (X @ Ml + Xl @ Mh)
+    return hi, lo
 
 
 def _polish_active_set(l, u, sol_y, eq_mask, dtype, delta):
@@ -681,57 +759,100 @@ def _polish_shared(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters,
     # residual (the acceptance test is AND over both residuals)
     outer_iters = max(6, params.polish_refine_iter)
     k_max = min(params.polish_active_cap, m)
-    Mpinv, G, HAA = prepared.Mpinv, prepared.G, prepared.HAA
+    Mpinv = prepared.Mpinv
+    Mpinv_lo = prepared.Mpinv_lo
+
+    def mp_solve(r):
+        # apply the double-single inverse pair: two plain matmuls whose
+        # roundings are random per call, not systematic — the refinement's
+        # contraction is bias-limited, not inverse-limited
+        return r @ Mpinv + r @ Mpinv_lo
 
     active, bnd, w = _polish_active_set(l, u, sol_y, eq_mask, dtype, delta)
 
-    # per-instance indices of active inequality rows, padded with inactive
-    # rows (masked out of the capacitance)
+    # per-instance indices of active inequality rows (top_k compaction —
+    # any order works, and top_k is far cheaper than a full argsort on
+    # TPU), padded with inactive rows masked out of the capacitance
     extra = active & ~eq_mask[None, :]
-    order = jnp.argsort(jnp.where(extra, 0, 1), axis=-1, stable=True)
-    idx = order[:, :k_max]  # (B, k)
+    _, idx = jax.lax.top_k(extra.astype(dtype), k_max)  # (B, k)
     valid = jnp.take_along_axis(extra, idx, axis=-1)  # (B, k)
 
-    # batched capacitance C = delta I + (U' Mpinv U masked); invalid slots
-    # become decoupled unit equations
-    Ck = jnp.take(HAA, idx, axis=0)  # (B, k, m)
-    Ck = jnp.take_along_axis(Ck, idx[:, None, :], axis=-1)  # (B, k, k)
-    pair = valid[:, :, None] & valid[:, None, :]
-    eye_k = jnp.eye(k_max, dtype=dtype)
-    C = jnp.where(pair, Ck, 0.0) + delta * eye_k[None] \
-        + jnp.where(valid, 0.0, 1.0)[:, :, None] * eye_k[None]
-    L = jnp.linalg.cholesky(C)
+    # gather the active-inequality rows ONCE; all per-pass index work then
+    # becomes dense einsums over A_g — scatters, take_along gathers and the
+    # (B, k, m) HAA slices each cost 6-40 ms at B=16k on TPU, while the
+    # equivalent einsum contractions are fractions of a millisecond
+    A_g = jnp.where(
+        valid[:, :, None], jnp.take(A, idx, axis=0), 0.0
+    )  # (B, k, n), masked rows zeroed
 
-    import jax.scipy.linalg as jsl
+    # batched capacitance C = delta I + U' Mpinv U; invalid slots become
+    # decoupled unit equations
+    A_gM = jnp.einsum("bkn,nm->bkm", A_g, Mpinv)  # (B, k, n)
+    Ck = jnp.einsum("bkm,bjm->bkj", A_gM, A_g)  # (B, k, k)
+    eye_k = jnp.eye(k_max, dtype=dtype)
+    C = Ck + delta * eye_k[None] \
+        + jnp.where(valid, 0.0, 1.0)[:, :, None] * eye_k[None]
+    # batched small SPD inverse: fused Pallas kernel on TPU (XLA's batched
+    # Cholesky costs ~100 ms at (16384, 40, 40)); K_solve then applies it
+    # as one batched matvec per call
+    from . import batched_linalg
+
+    Cinv = batched_linalg.chol_inverse(C)
 
     def K_solve(r):  # (B, n) -> exact K_i^-1 r
-        t = r @ Mpinv
-        v = jnp.take_along_axis(t @ A.T, idx, axis=-1)  # (B, k)
-        v = jnp.where(valid, v, 0.0)
-        y = jsl.solve_triangular(L, v[..., None], lower=True)
-        y = jsl.solve_triangular(
-            jnp.swapaxes(L, -1, -2), y, lower=False
-        )[..., 0]
-        y = jnp.where(valid, y, 0.0)
-        y_m = jnp.zeros((B, m), dtype).at[
-            jnp.arange(B)[:, None], idx
-        ].add(y)
-        return t - y_m @ G
+        t = mp_solve(r)
+        v = jnp.einsum("bn,bkn->bk", t, A_g)  # (B, k)
+        y = jnp.einsum("bij,bj->bi", Cinv, v)
+        corr = jnp.einsum("bk,bkn->bn", y, A_g)
+        return t - mp_solve(corr)
 
     # outer refinement against the TRUE optimality system: each pass
     # contracts the O(delta) penalty bias by ~delta
     x = sol_x  # the ADMM iterate is already close
     nu = jnp.where(active, sol_y, 0.0)
 
-    def outer(_, carry):
+    def correct(x, nu, r1, r2):
+        dx = K_solve(r1 + (w * r2) @ A)
+        dnu = w * (dx @ A.T - r2)
+        return x + dx, nu + dnu, dx, dnu
+
+    def plain(_, carry):
         x, nu = carry
         r1 = -q - x @ P - jnp.where(active, nu, 0.0) @ A
         r2 = jnp.where(active, bnd - x @ A.T, 0.0)
-        dx = K_solve(r1 + (w * r2) @ A)
-        dnu = w * (dx @ A.T - r2)
-        return x + dx, nu + dnu
+        x, nu, _, _ = correct(x, nu, r1, r2)
+        return x, nu
 
-    x_pol, y_pol = jax.lax.fori_loop(0, outer_iters, outer, (x, nu))
+    if dtype == jnp.float32:
+        # float32 schedule: plain passes contract the O(delta) penalty bias
+        # down to the float32 matvec noise floor (~n.eps); then ONE
+        # compensated residual evaluation re-anchors the true residual to
+        # ~eps^2 and cheap incremental passes (residual-scale updates, no
+        # cancellation) continue the same ~0.7/pass contraction BELOW the
+        # float32 matvec floor to the float32 DATA floor.
+        x, nu = jax.lax.fori_loop(0, 3, plain, (x, nu))
+        h1, l1 = _comp_mm(x, P)
+        h2, l2 = _comp_mm(jnp.where(active, nu, 0.0), A)
+        s, e1 = _two_sum(-q, -h1)
+        s, e2 = _two_sum(s, -h2)
+        r1 = s + (e1 + e2 - l1 - l2)
+        h3, l3 = _comp_mm(x, A.T)
+        bnd_m = jnp.where(active, bnd, 0.0)
+        s3, e3 = _two_sum(bnd_m, -h3)
+        r2 = jnp.where(active, s3 + (e3 - l3), 0.0)
+        def incremental(_, carry):
+            x, nu, r1, r2 = carry
+            x, nu, dx, dnu = correct(x, nu, r1, r2)
+            r1 = r1 - dx @ P - dnu @ A
+            r2 = jnp.where(active, r2 - dx @ A.T, 0.0)
+            return x, nu, r1, r2
+
+        x, nu, _, _ = jax.lax.fori_loop(
+            0, 8, incremental, (x, nu, r1, r2)
+        )
+        x_pol, y_pol = x, nu
+    else:
+        x_pol, y_pol = jax.lax.fori_loop(0, outer_iters, plain, (x, nu))
     return _polish_accept(
         P, A, q, l, u, sol_x, sol_y, sol_z, x_pol, y_pol, active, None
     )

@@ -1,0 +1,117 @@
+"""Batched small dense linear algebra as fused Pallas kernels.
+
+XLA's batched ``cholesky``/``triangular_solve`` on TPU lower to sequential
+per-matrix loops that cost ~100 ms for a (16384, 40, 40) factorization —
+three orders of magnitude over the arithmetic.  These kernels use the
+batch-in-lanes layout (matrix dims on the major/sublane axes, a 128-wide
+batch tile on the lane axis) so one factorization step is a single vector
+operation across 128 instances, the same design as the fused inner-QP
+kernel (ops/qp_inner_pallas.py).
+
+Provided: :func:`chol_inverse` — explicit inverse of a batch of small SPD
+matrices (used by the LMPC shared polish for its Woodbury capacitance
+systems, ops/admm.py::_polish_shared).
+
+On CPU backends the XLA implementation is fast (LAPACK); the kernel is
+TPU-only by default with an ``interpret`` escape hatch for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_B = 128
+
+
+def _chol_inv_kernel(C_ref, out_ref, L_s, inv_s, *, k):
+    f1 = jnp.float32
+    eye_cols = [
+        jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == j for j in range(k)
+    ]
+
+    # Cholesky via right-looking full-matrix rank-1 updates.  The symmetric
+    # full update zeroes eliminated columns, so the saved row satisfies
+    # L_s[p, j] = L[j, p] for j >= p: L_s is the upper factor U = L' stored
+    # row-wise (see ops/qp_inner_pallas.py for the derivation).
+    out_ref[:, :, :] = C_ref[:]  # scratch the input into the output buffer
+    for p in range(k):
+        row = out_ref[p, :, :]  # (k, TB)
+        dkk = row[p : p + 1, :]
+        inv = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
+        lrow = row * inv
+        L_s[p, :, :] = lrow
+        out_ref[:, :, :] = out_ref[:] - lrow[None, :, :] * lrow[:, None, :]
+
+    # forward (U' Y = I): Y[p] = (I[p] - sum_{j<p} U[j,p] Y[j]) / U[p,p]
+    for p in range(k):
+        if p:
+            acc = (L_s[:p, p : p + 1, :] * inv_s[:p, :, :]).sum(axis=0)
+        else:
+            acc = jnp.zeros((k, TILE_B), f1)
+        rhs_row = eye_cols[p].astype(f1)
+        inv_s[p, :, :] = (rhs_row - acc) / L_s[p, p : p + 1, :]
+    # backward (U X = Y): X[p] = (Y[p] - sum_{j>p} U[p,j] X[j]) / U[p,p]
+    for p in range(k - 1, -1, -1):
+        if p < k - 1:
+            Urow = L_s[p, p + 1 :, :]  # (k-p-1, TB)
+            acc = (Urow[:, None, :] * inv_s[p + 1 :, :, :]).sum(axis=0)
+        else:
+            acc = jnp.zeros((k, TILE_B), f1)
+        inv_s[p, :, :] = (inv_s[p, :, :] - acc) / L_s[p, p : p + 1, :]
+
+    out_ref[:, :, :] = inv_s[:, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_inverse_pallas(C, interpret=False):
+    B, k, _ = C.shape
+    dtype = jnp.float32
+    Bp = ((B + TILE_B - 1) // TILE_B) * TILE_B
+    pad = Bp - B
+    C = C.astype(dtype)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), (pad, k, k))
+        C = jnp.concatenate([C, eye], axis=0)
+    C_t = jnp.moveaxis(C, 0, -1)  # (k, k, Bp)
+
+    spec = pl.BlockSpec(
+        (k, k, TILE_B), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, k=k),
+        grid=(Bp // TILE_B,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((k, k, Bp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, k, TILE_B), dtype),
+            pltpu.VMEM((k, k, TILE_B), dtype),
+        ],
+        interpret=interpret,
+    )(C_t)
+    return jnp.moveaxis(out, -1, 0)[:B]
+
+
+def chol_inverse(C, *, force_kernel: bool = False, interpret: bool = False):
+    """Inverse of a batch of small SPD matrices ``C`` (B, k, k).
+
+    TPU: one fused Pallas kernel per 128-instance tile (float32).
+    CPU/other backends (and float64 inputs): XLA Cholesky + triangular
+    solves, which are fast there.
+    """
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if (on_tpu or force_kernel) and C.dtype == jnp.float32:
+        return _chol_inverse_pallas(C, interpret=interpret or not on_tpu)
+    L = jnp.linalg.cholesky(C)
+    eye = jnp.broadcast_to(jnp.eye(C.shape[-1], dtype=C.dtype), C.shape)
+    import jax.scipy.linalg as jsl
+
+    y = jsl.solve_triangular(L, eye, lower=True)
+    return jsl.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
