@@ -97,6 +97,31 @@ def _chol_inverse_pallas(C, interpret=False):
     return jnp.moveaxis(out, -1, 0)[:B]
 
 
+@jax.custom_batching.custom_vmap
+def spd_solve(M, rhs):
+    """Solve ``M x = rhs`` for SPD ``M`` — written per-instance, and under
+    ``vmap`` the whole batch routes to the fused Pallas Cholesky kernel
+    (XLA's batched LU/Cholesky lower to per-matrix sequential loops that
+    cost milliseconds at MPC batch sizes; measured 5.7 ms per SQP
+    iteration for the second-order-correction solve alone)."""
+    import jax.scipy.linalg as jsl
+
+    return jsl.cho_solve((jnp.linalg.cholesky(M), True), rhs)
+
+
+@spd_solve.def_vmap
+def _spd_solve_vmap(axis_size, in_batched, M, rhs):
+    M = M if in_batched[0] else jnp.broadcast_to(M[None], (axis_size,) + M.shape)
+    rhs = (
+        rhs if in_batched[1]
+        else jnp.broadcast_to(rhs[None], (axis_size,) + rhs.shape)
+    )
+    Minv = chol_inverse(M)
+    return jnp.einsum("bij,bj->bi", Minv, rhs.astype(Minv.dtype)).astype(
+        rhs.dtype
+    ), True
+
+
 def chol_inverse(C, *, force_kernel: bool = False, interpret: bool = False):
     """Inverse of a batch of small SPD matrices ``C`` (B, k, k).
 

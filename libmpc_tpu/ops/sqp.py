@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import LParameters, NLParameters
-from . import admm, pdip, qp_inner_pallas
+from . import admm, batched_linalg, pdip, qp_inner_pallas
 
 # -- nlopt result values (nlopt.hpp) ----------------------------------------
 NLOPT_FAILURE = -1
@@ -167,7 +167,9 @@ def _sqp_solve_hp(
             alpha=qp_par.alpha,
             eps_abs=max(qp_par.eps_abs, 5e-6),
             eps_rel=max(qp_par.eps_rel, 5e-6),
-            max_iter=qp_par.maximum_iteration,
+            # warm-started SQP subproblems converge in a few check blocks;
+            # a tighter cap bounds the lockstep tail of a 128-lane tile
+            max_iter=min(qp_par.maximum_iteration, 300),
             check_every=qp_par.check_termination,
             interpret=jax.default_backend() == "cpu",
         )
@@ -490,10 +492,18 @@ def _sqp_solve_hp(
         D = jnp.dot(g, d) - viol0
 
         # second-order correction: after a unit step, remove the remaining
-        # (curvature-induced) equality residual with a least-norm correction
+        # (curvature-induced) equality residual with a least-norm correction.
+        # Computed ONCE per iteration, outside the line-search loop: under
+        # vmap a lax.cond inside the loop body lowers to a select that runs
+        # the correction (constraint evaluation + batched solve) on EVERY
+        # trial — measured 4x slower than the unconditional hoisted form.
         ce_full = ceq_fn(s.z + d)
         JJt = Je @ Je.T + 1e-10 * jnp.eye(me, dtype=dtype)
-        d_soc = d - Je.T @ jnp.linalg.solve(JJt, ce_full)
+        # SPD solve routed through the fused Pallas batched-Cholesky under
+        # vmap (ops/batched_linalg.spd_solve): XLA's batched LU for this
+        # 20x20 system measured 5.7 ms per SQP iteration — 36% of the
+        # whole NLMPC solve — at batch 1024
+        d_soc = d - Je.T @ batched_linalg.spd_solve(JJt, ce_full)
 
         # -- lazy backtracking line search ------------------------------
         # Candidates in order [alpha=1, SOC, 1/2, 1/4, ..., 2^-(K-2)]; each
