@@ -41,10 +41,14 @@ def main():
     # compensated-residual anchor + incremental refinement passes) —
     # float32 ADMM alone stalls at ~1e-3 residuals, the polish recovers
     # ~1e-5 command accuracy vs the f64 golden.
+    # maximum_iteration=100: ~1% of instances stall above the float32 ADMM
+    # tolerance and would otherwise drag the whole lockstep batch to the
+    # cap (the polish repairs their accuracy; they report
+    # OSQP_SOLVED_INACCURATE like the reference would).
     # rho=0.01 (vs the reference's 1e-6 default) improves the float32
     # iteration floor on this problem family; parity defaults are unchanged.
     c.set_optimizer_parameters(
-        LParameters(maximum_iteration=250, enable_warm_start=True,
+        LParameters(maximum_iteration=100, enable_warm_start=True,
                     polish=True, polish_mode="shared", rho=0.01)
     )
     dims, params, prob = c.dims, c._params, c._prob

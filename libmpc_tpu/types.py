@@ -153,15 +153,15 @@ class NLParameters(Parameters):
     absolute_xtol: float = -1.0
     hard_constraints: bool = True
     hessian_reg: str = "eigh"
-    # inner QP engine (TPU-native extension): "pdip" solves each SQP
-    # subproblem with a Mehrotra predictor-corrector interior-point method
-    # (~20 iterations of small batched Cholesky factorizations — profiling
-    # shows the previous ADMM inner loop at ~80% of an NLMPC solve on TPU);
-    # "admm" uses the shared OSQP-style kernel; "fused" runs the whole
-    # batch of subproblems in ONE Pallas kernel per SQP iteration
-    # (ops/qp_inner_pallas.py: in-VMEM Cholesky + ADMM loop, batch in
-    # lanes) — float32 solves only, f64 falls back to "pdip"
-    inner_qp: str = "pdip"
+    # inner QP engine (TPU-native extension): "fused" (default) runs the
+    # whole batch of float32 subproblems in ONE Pallas kernel per SQP
+    # iteration (ops/qp_inner_pallas.py: in-VMEM Cholesky + ADMM loop,
+    # batch in lanes — the fast production path; float64 solves fall back
+    # to "pdip"); "pdip" solves each subproblem with a Mehrotra
+    # predictor-corrector interior-point method (~20 iterations of small
+    # batched factorizations — the accuracy-reference engine and the f64
+    # default); "admm" uses the shared OSQP-style XLA kernel
+    inner_qp: str = "fused"
     # TPU-native extension (the reference has verbose only on LParameters):
     # prints a per-solve SQP iteration summary, mirroring LMPC's behavior
     verbose: bool = False
