@@ -520,3 +520,25 @@ class TestSetConstraintsPerIndex:
         assert np.allclose(np.asarray(prob.max_y)[3], 3.0)
         # other steps untouched
         assert np.isinf(np.asarray(prob.min_x)[1]).all()
+
+
+class TestLazyStatsMode:
+    """LMPC set_stats_mode("lazy"): deferred status readback must record the
+    same stats counts as the default sync mode."""
+
+    def test_counts_and_statuses_match_sync(self):
+        def run(mode):
+            c = make_quadrotor_controller()
+            c.set_stats_mode(mode)
+            x = np.zeros(12)
+            u = np.zeros(4)
+            for _ in range(3):
+                res = c.optimize(x, u)
+                u = np.asarray(res.cmd)
+            return c.get_execution_stats()
+
+        lazy = run("lazy")
+        sync = run("sync")
+        assert lazy.number_of_solutions == sync.number_of_solutions == 3
+        assert sum(lazy.solutions_states.values()) == 3
+        assert lazy.solutions_states == sync.solutions_states

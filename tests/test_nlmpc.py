@@ -417,3 +417,66 @@ class TestPerInstanceHardBounds:
         assert c._instance_bounds is not None
         assert c.set_instance_bounds()
         assert c._instance_bounds is None
+
+
+class TestHessianModes:
+    """The curvature-model knob (TPU-native extension; the reference's SLSQP
+    is itself a damped-BFGS SQP, NLOptimizer.hpp:64).  Every mode must drive
+    the same VdP closed loop to the same commands as the exact-Hessian
+    default."""
+
+    def _run(self, mode, steps=5):
+        c = make_vdp_controller()
+        c.set_optimizer_parameters(
+            NLParameters(maximum_iteration=100, hessian_reg=mode)
+        )
+        x = np.array([0.0, 1.0])
+        cmd = np.zeros(1)
+        cmds = []
+        for _ in range(steps):
+            res = c.optimize(x, cmd)
+            cmd = np.asarray(res.cmd)
+            cmds.append(cmd.copy())
+            dx = np.asarray(vdp_continuous(jnp.asarray(x), jnp.asarray(cmd), 0))
+            x = x + dx * 0.1
+        return np.array(cmds), int(res.status)
+
+    @pytest.mark.parametrize("mode", ["gershgorin", "power", "bfgs"])
+    def test_closed_loop_matches_exact_hessian(self, mode):
+        ref, _ = self._run("eigh")
+        got, status = self._run(mode)
+        assert status in (
+            int(ResultStatus.SUCCESS),
+            int(ResultStatus.MAX_ITERATION),
+        )
+        # modes may terminate at slightly different near-optimal points
+        # when the input cap activates; 2e-3 command agreement is the same
+        # order as the reference's own FD-vs-exact tolerance (1e-3)
+        assert np.allclose(got, ref, atol=2e-3), (mode, got - ref)
+
+
+class TestLazyStatsMode:
+    """set_stats_mode("lazy"): pipelined solves with deferred status
+    readback must record the same counts as the default sync mode."""
+
+    def test_counts_and_statuses_match_sync(self):
+        def run(mode):
+            c = make_vdp_controller()
+            c.set_stats_mode(mode)
+            x = np.array([0.0, 1.0])
+            cmd = np.zeros(1)
+            for _ in range(4):
+                res = c.optimize(x, cmd)
+                cmd = np.asarray(res.cmd)
+            return c.get_execution_stats()
+
+        lazy = run("lazy")
+        sync = run("sync")
+        assert lazy.number_of_solutions == sync.number_of_solutions == 4
+        assert sum(lazy.solutions_states.values()) == 4
+        assert lazy.solutions_states == sync.solutions_states
+
+    def test_rejects_unknown_mode(self):
+        c = make_vdp_controller()
+        with pytest.raises(ValueError):
+            c.set_stats_mode("bogus")
