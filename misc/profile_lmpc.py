@@ -66,13 +66,22 @@ def main():
         )
         return q, l, u
 
+    # the warm solve MUST be jitted: an eager batched solve dispatches
+    # thousands of individual programs over the device tunnel (>25 min at
+    # B=16384, measured) where the compiled program takes ~0.1 s
+    @jax.jit
+    def stage_warm(q, l, u):
+        with jax.default_matmul_precision("highest"):
+            sol = admm.admm_solve(
+                P, A, q, l, u, params=p_no, prepared=prep, eq_mask=eq_mask
+            )
+            return sol.x, sol.y
+
     with jax.default_matmul_precision("highest"):
         staged = [jax.block_until_ready(assemble(x)) for x in x0s]
-        warm = admm.admm_solve(
-            P, A, *staged[0], params=p_no, prepared=prep, eq_mask=eq_mask
-        )
-        warm_x = jax.block_until_ready(warm.x)
-        warm_y = jax.block_until_ready(warm.y)
+        print("staged q/l/u", flush=True)
+        warm_x, warm_y = jax.block_until_ready(stage_warm(*staged[0]))
+        print("staged warm start", flush=True)
 
     @jax.jit
     def t_assemble(x0):
@@ -114,17 +123,18 @@ def main():
             return jnp.sum(result.cmd) + jnp.sum(sx)
         return run
 
-    rows = [
-        ("assemble q/l/u", timeit(t_assemble, [(x,) for x in x0s])),
-        ("admm no polish", timeit(make_solver(p_no), staged)),
-        ("admm + shared polish", timeit(make_solver(p_sh), staged)),
-        ("unpack sequences", timeit(t_unpack, [(s[0],) for s in staged])),
-        ("solve_body no polish", timeit(make_body(p_no, built), [(x,) for x in x0s])),
-        ("solve_body polish", timeit(make_body(p_sh, built), [(x,) for x in x0s])),
+    print(f"B={B} device={jax.devices()[0]}", flush=True)
+    stages = [
+        ("assemble q/l/u", t_assemble, [(x,) for x in x0s]),
+        ("admm no polish", make_solver(p_no), staged),
+        ("admm + shared polish", make_solver(p_sh), staged),
+        ("unpack sequences", t_unpack, [(s[0],) for s in staged]),
+        ("solve_body no polish", make_body(p_no, built), [(x,) for x in x0s]),
+        ("solve_body polish", make_body(p_sh, built), [(x,) for x in x0s]),
     ]
-    print(f"B={B} device={jax.devices()[0]}")
-    for name, ms in rows:
-        print(f"{name:26s} {ms:9.2f} ms")
+    for name, fn, args in stages:
+        ms = timeit(fn, args)
+        print(f"{name:26s} {ms:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
