@@ -178,19 +178,19 @@ class PreparedQP(NamedTuple):
     loose_mask: jax.Array  # (m,) rows loose in every instance
     M0: jax.Array  # (n, n) KKT matrix at the initial rho
     Minv0: jax.Array  # (n, n) its explicit inverse
-    Mpinv: jax.Array  # (n, n) shared polish base inverse:
+    Mpinv: Optional[jax.Array]  # (n, n) shared polish base inverse:
     # (P + delta I + delta^-1 Aeq' Aeq)^-1 on the UNSCALED problem — the
     # equality rows are active in every instance, so each instance's
     # active-set system is this matrix plus a low-rank term over its few
-    # active inequality rows, handled exactly by a Woodbury correction
-    G: jax.Array  # (m, n) A @ Mpinv — Woodbury back-substitution operator
-    HAA: jax.Array  # (m, m) A @ Mpinv @ A' — Woodbury capacitance source
-    Mpinv_lo: jax.Array  # (n, n) double-single low word of Mpinv: a plain
-    # float32 inverse of the ~1/delta^2-conditioned Mp carries ~eps.kappa
-    # SYSTEMATIC error, which caps the polish refinement contraction near 1
-    # on TPU; applying the (hi, lo) pair (two matmuls) removes the
-    # systematic part (setup computes lo = Mpinv (I - Mp Mpinv) with a
-    # compensated residual)
+    # active inequality rows, handled exactly by a Woodbury correction.
+    # None when the prepare-time params do not use the shared polish
+    # (admm_solve recomputes it on the fly if later params do).
+    Mpinv_lo: Optional[jax.Array]  # (n, n) double-single low word of Mpinv:
+    # a plain float32 inverse of the ~1/delta^2-conditioned Mp carries
+    # ~eps.kappa SYSTEMATIC error, which caps the polish refinement
+    # contraction near 1 on TPU; applying the (hi, lo) pair (two matmuls)
+    # removes the systematic part (setup computes
+    # lo = Mpinv (I - Mp Mpinv) with a compensated residual)
 
 
 def _rho_bounds(dtype, params):
@@ -237,8 +237,29 @@ def prepare_qp(P, A, q_ref, eq_mask, loose_mask, params: LParameters,
             Ps, As, _rho_vec_of(rho_init, eq_mask, loose_mask),
             jnp.asarray(sigma_v, dtype), axis_rows,
         )
-        # shared polish base matrix on the UNSCALED problem (polish operates
-        # unscaled): equality rows are active in every instance
+        # the shared-polish base inverse is only built when these params
+        # will actually run that polish (it costs several (n, n) matmuls,
+        # a Cholesky and compensated products); admm_solve recomputes it
+        # on the fly if it is handed a prepared cache built without it
+        if params.polish and params.polish_mode == "shared" \
+                and axis_rows is None:
+            Mpinv, Mpinv_lo = _polish_prep(P, A, eq_mask, axis_rows)
+        else:
+            Mpinv = Mpinv_lo = None
+        return PreparedQP(
+            Ps=Ps, As=As, d=d, e=e, c=c,
+            eq_mask=eq_mask, loose_mask=loose_mask, M0=M0, Minv0=Minv0,
+            Mpinv=Mpinv, Mpinv_lo=Mpinv_lo,
+        )
+
+
+def _polish_prep(P, A, eq_mask, axis_rows=None):
+    """Shared-polish base inverse pair (hi, lo) on the UNSCALED problem
+    (the polish operates unscaled): equality rows are active in every
+    instance."""
+    with jax.default_matmul_precision("highest"):
+        n = P.shape[0]
+        dtype = P.dtype
         delta = jnp.asarray(_polish_delta_shared(dtype), dtype)
         eye = jnp.eye(n, dtype=dtype)
         w_eq = eq_mask.astype(dtype) / delta
@@ -266,13 +287,7 @@ def prepare_qp(P, A, q_ref, eq_mask, loose_mask, params: LParameters,
         e_hi, e_lo = _comp_mm(Mp, Mpinv)
         E = (eye - e_hi) - e_lo
         Mpinv_lo = Mpinv @ E
-        G = A @ Mpinv
-        HAA = G @ A.T  # valid on the local row block under axis_rows
-        return PreparedQP(
-            Ps=Ps, As=As, d=d, e=e, c=c,
-            eq_mask=eq_mask, loose_mask=loose_mask, M0=M0, Minv0=Minv0,
-            Mpinv=Mpinv, G=G, HAA=HAA, Mpinv_lo=Mpinv_lo,
-        )
+        return Mpinv, Mpinv_lo
 
 
 def _build_kkt_inverse(P, A, rho_vec, sigma, axis_rows=None):
@@ -741,9 +756,11 @@ def _polish_shared(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters,
     (k x k) Cholesky factorizations, and shared-matrix matmuls::
 
         K^-1 r = Mpinv r - Mpinv U (delta I + U' Mpinv U)^-1 U' Mpinv r
-        U' Mpinv r   = (r Mpinv A')[idx]          (gather)
-        U' Mpinv U   = HAA[idx, idx]              (gather, HAA = A Mpinv A')
-        Mpinv U y    = scatter(y) @ G             (G = A Mpinv)
+
+    with the per-instance ``U`` terms formed as dense einsums over the
+    once-gathered active rows ``A_g`` (scatters and cross-row gathers cost
+    6-40 ms at B=16k on TPU; the einsum contractions are fractions of a
+    millisecond).
 
     Outer refinement against the TRUE optimality system (as in the dense
     mode) contracts the O(delta) penalty bias each pass.  Instances with
@@ -1035,6 +1052,11 @@ def _admm_solve_hp(
         # which does not compose with row sharding — the dense mode (psum'd
         # per-instance factorizations) covers that case
         if params.polish_mode == "shared" and axis_rows is None:
+            if prepared.Mpinv is None:
+                # prepared cache built under no-polish params: build the
+                # base inverse here (traced once per compiled program)
+                mp_hi, mp_lo = _polish_prep(P, A, eq_mask, axis_rows)
+                prepared = prepared._replace(Mpinv=mp_hi, Mpinv_lo=mp_lo)
             x_p, y_p, z_p, pri_p, dua_p = _polish_shared(
                 P, A, q, l, u, x, y, z, params, eq_mask, prepared
             )

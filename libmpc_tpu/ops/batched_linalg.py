@@ -129,7 +129,7 @@ def chol_inverse(C, *, force_kernel: bool = False, interpret: bool = False):
     CPU/other backends (and float64 inputs): XLA Cholesky + triangular
     solves, which are fast there.
     """
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     if (on_tpu or force_kernel) and C.dtype == jnp.float32:
         return _chol_inverse_pallas(C, interpret=interpret or not on_tpu)
     L = jnp.linalg.cholesky(C)

@@ -149,12 +149,15 @@ def _sqp_solve_hp(
         hess_L = jax.hessian(lagrangian)
 
     f32 = dtype == jnp.float32
-    # the fused engine is a single-precision Pallas kernel by design; an
-    # f64 solve asking for it gets the accurate interior-point engine (an
-    # f32 inner direction cannot drive the outer loop to 1e-7 stationarity)
-    use_fused = params.inner_qp == "fused" and f32
+    # the fused engine is a single-precision TPU Pallas kernel by design
+    # (interpreted on CPU test meshes); an f64 solve — or a non-TPU
+    # accelerator backend — asking for it gets the accurate interior-point
+    # engine instead (an f32 inner direction cannot drive the outer loop
+    # to 1e-7 stationarity, and the kernel does not lower on GPU)
+    backend_ok = jax.default_backend() in ("tpu", "cpu")
+    use_fused = params.inner_qp == "fused" and f32 and backend_ok
     use_pdip = params.inner_qp == "pdip" or (
-        params.inner_qp == "fused" and not f32
+        params.inner_qp == "fused" and not use_fused
     )
     qp_par = _qp_params(f32)
     if use_fused:
@@ -528,7 +531,11 @@ def _sqp_solve_hp(
             cand = jnp.where(ls.t == 1, s.z + d_soc, s.z + alpha * d)
             fc, cec, cic = merit_terms(cand)
             phic = phi(fc, cec, cic)
-            passed = phic <= phi0 + _ARMIJO_C1 * alpha * D
+            # the strict phi0 guard matters when D = g.d - mu.viol0 > 0 (an
+            # inexact QP direction at an infeasible iterate): the Armijo
+            # threshold then sits ABOVE phi0 and would accept a
+            # merit-increasing step
+            passed = (phic <= phi0 + _ARMIJO_C1 * alpha * D) & (phic < phi0)
             take = passed | (phic < ls.best_phi)
             return LS(
                 t=ls.t + 1,
@@ -547,7 +554,9 @@ def _sqp_solve_hp(
             f_acc=f,
             ce_acc=ce,
             ci_acc=ci,
-            best_phi=jnp.asarray(jnp.inf, dtype),
+            # start at phi0 so the accumulator only ever holds candidates
+            # that strictly improve on the current iterate
+            best_phi=phi0,
         )
         ls = jax.lax.while_loop(
             lambda ls: ~ls.done & (ls.t < _LS_STEPS + 1), ls_body, ls0

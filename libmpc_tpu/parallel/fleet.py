@@ -41,6 +41,11 @@ class FleetStats:
     n_max_iteration: jax.Array
     n_infeasible: jax.Array
     n_error: jax.Array
+    # UNKNOWN covers the reference's residual statuses — notably LMPC
+    # time-limit stops (OSQP_TIME_LIMIT_REACHED -> ResultStatus::UNKNOWN,
+    # reference: include/mpc/LMPC/LOptimizer.hpp:406-407) — so the five
+    # buckets always sum to n_total
+    n_unknown: jax.Array
     mean_iterations: jax.Array
     max_iterations: jax.Array
 
@@ -53,6 +58,7 @@ class FleetStats:
             f"  - MAX_ITERATION: {pct(self.n_max_iteration):.2f}%\n"
             f"  - INFEASIBLE: {pct(self.n_infeasible):.2f}%\n"
             f"  - ERROR: {pct(self.n_error):.2f}%\n"
+            f"  - UNKNOWN: {pct(self.n_unknown):.2f}%\n"
             f"  - iterations: mean {float(self.mean_iterations):.1f}, "
             f"max {int(self.max_iterations)}\n"
         )
@@ -67,6 +73,7 @@ def _local_stats(status, iters, axis: str) -> FleetStats:
         n_max_iteration=count(ResultStatus.MAX_ITERATION),
         n_infeasible=count(ResultStatus.INFEASIBLE),
         n_error=count(ResultStatus.ERROR),
+        n_unknown=count(ResultStatus.UNKNOWN),
         mean_iterations=jnp.sum(iters.astype(jnp.float32)),
         max_iterations=jnp.max(iters),
     )

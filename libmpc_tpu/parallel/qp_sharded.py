@@ -86,7 +86,11 @@ def solve_sharded(
     if not have_warm:
         warm_x = jnp.zeros((B, n), dtype)
         warm_y = jnp.zeros((B, m_pad), dtype)
-    elif warm_y is not None and warm_y.shape[-1] == m:
+    elif warm_y is None:
+        # primal-only warm start: default the duals to zero like
+        # ops/admm.py does (None would break the shard_map spec match)
+        warm_y = jnp.zeros((B, m_pad), dtype)
+    elif warm_y.shape[-1] == m:
         warm_y = jnp.concatenate(
             [warm_y, jnp.zeros((B, m_pad - m), dtype)], axis=1
         )

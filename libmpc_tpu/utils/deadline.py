@@ -45,7 +45,12 @@ class IterationBudgeter:
         uncalibrated -> unlimited)."""
         if time_limit <= 0 or self._t_per_iter is None:
             return NO_BUDGET
-        return max(1, int(time_limit / self._t_per_iter))
+        cap = time_limit / self._t_per_iter
+        # clamp before int(): a generous deadline over a fast solve can
+        # exceed int32 (callers stage the budget as an int32 device scalar)
+        if cap >= NO_BUDGET:
+            return NO_BUDGET
+        return max(1, int(cap))
 
     def record(self, elapsed_s: float, iters_executed: int) -> None:
         """Feed one measured solve (wall seconds, iterations executed)."""

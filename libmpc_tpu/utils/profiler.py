@@ -15,6 +15,10 @@ from typing import Dict
 
 from ..types import Result, ResultStatus
 
+# lazy-mode records pin live device scalars until get_stats(); flush
+# opportunistically past this many so an unread profiler cannot leak
+_PENDING_FLUSH = 4096
+
 
 class SolutionStats:
     """Accumulated solve-time statistics (reference: include/mpc/Profiler.hpp:88-120)."""
@@ -99,6 +103,11 @@ class Profiler:
 
             self._pending.append((elapsed, jnp.max(result.status)))
             self._start = None
+            # each pending record pins a live device scalar: a control loop
+            # that never reads its stats would otherwise grow this without
+            # bound.  One amortized sync per _PENDING_FLUSH solves is noise.
+            if len(self._pending) >= _PENDING_FLUSH:
+                self._flush()
             return elapsed
         if status_max is not None:
             # caller already read the batch-max status back — reuse it

@@ -201,3 +201,32 @@ class TestPolish:
         err_pol = kkt_error(P, A, q, l, u, np.asarray(polished.x), np.asarray(polished.y))
         assert err_pol <= err_rough
         assert err_pol < 1e-6
+
+    def test_polish_runs_from_nopolish_prepared_cache(self):
+        """A PreparedQP built under polish=False params omits the shared
+        polish base inverse; a later polish=True solve handed that cache
+        must rebuild it on the fly instead of crashing."""
+        rng = np.random.default_rng(6)
+        P, A, q, l, u = random_qp(rng, 8, 12)
+        args = tuple(map(jnp.asarray, (P, A, q, l, u)))
+        no_pol = LParameters(maximum_iteration=200, eps_abs=1e-3,
+                             eps_rel=1e-3, polish=False)
+        with_pol = LParameters(maximum_iteration=200, eps_abs=1e-3,
+                               eps_rel=1e-3, polish=True)
+        eq_mask = jnp.asarray((l == u) & np.isfinite(l))
+        loose_mask = jnp.asarray(
+            (l <= -admm.INF_BOUND) & (u >= admm.INF_BOUND)
+        )
+        prep_no = admm.prepare_qp(args[0], args[1], jnp.abs(args[2]),
+                                  eq_mask, loose_mask, no_pol)
+        assert prep_no.Mpinv is None and prep_no.Mpinv_lo is None
+        prep_yes = admm.prepare_qp(args[0], args[1], jnp.abs(args[2]),
+                                   eq_mask, loose_mask, with_pol)
+        assert prep_yes.Mpinv is not None
+        polished = admm.admm_solve(*args, with_pol, prepared=prep_no)
+        direct = admm.admm_solve(*args, with_pol, prepared=prep_yes)
+        err = kkt_error(P, A, q, l, u,
+                        np.asarray(polished.x), np.asarray(polished.y))
+        assert err < 1e-6
+        assert np.allclose(np.asarray(polished.x), np.asarray(direct.x),
+                           atol=1e-7)

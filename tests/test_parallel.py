@@ -199,3 +199,30 @@ class TestFleetRuntimeParams:
         assert abs(cmds[0] - 0.01) < 1e-6
         assert cmds[-1] < 0.2 - 1e-3
         assert int(stats.n_total) == 8
+
+
+class TestFleetStatsBuckets:
+    def test_unknown_bucket_counted(self, mesh8):
+        """Statuses outside the four named buckets (e.g. LMPC time-limit
+        stops -> ResultStatus.UNKNOWN, reference LOptimizer.hpp:406-407)
+        must land in n_unknown so the buckets always sum to n_total."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from libmpc_tpu.parallel import mesh as mesh_lib
+        from libmpc_tpu.parallel.fleet import _local_stats
+        import jax.numpy as jnp
+
+        status = jnp.asarray([0, 0, 1, 2, 3, 4, 4, 4], jnp.int32)
+        iters = jnp.full((8,), 5, jnp.int32)
+        axis = mesh_lib.DATA_AXIS
+        f = jax.shard_map(
+            lambda s, i: _local_stats(s, i, axis),
+            mesh=mesh8, in_specs=(P(axis), P(axis)), out_specs=P(),
+        )
+        stats = f(status, iters)
+        assert int(stats.n_unknown) == 3
+        total = (int(stats.n_success) + int(stats.n_max_iteration)
+                 + int(stats.n_infeasible) + int(stats.n_error)
+                 + int(stats.n_unknown))
+        assert total == int(stats.n_total) == 8
+        assert "UNKNOWN" in str(stats)

@@ -121,3 +121,22 @@ class TestShardedQP:
         with pytest.raises(ValueError):
             solve_sharded(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
                           jnp.asarray(l), jnp.asarray(u), m, PAR)
+
+    def test_primal_only_warm_start(self):
+        """warm_x without warm_y defaults the duals to zero (the same
+        semantics as ops/admm.py) instead of tripping the shard_map spec
+        structure check."""
+        rng = np.random.default_rng(0)
+        B = 8
+        P, A, q, l, u = random_qp(rng, 10, 17, batch=B)
+        m = mesh_lib.make_mesh(data=4, model=2)
+        args = tuple(map(jnp.asarray, (P, A, q, l, u)))
+        cold = solve_sharded(*args, m, PAR)
+        assert np.all(np.asarray(cold.status) == 1)
+        warm = solve_sharded(*args, m, PAR, warm_x=cold.x)
+        assert np.all(np.asarray(warm.status) == 1)
+        assert np.allclose(np.asarray(warm.x), np.asarray(cold.x), atol=1e-6)
+        # and the fully-warm call still accepts (x, y) like before
+        warm2 = solve_sharded(*args, m, PAR, warm_x=cold.x, warm_y=cold.y)
+        assert np.all(np.asarray(warm2.status) == 1)
+        assert np.all(np.asarray(warm2.iters) <= np.asarray(cold.iters))

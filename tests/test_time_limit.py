@@ -128,3 +128,19 @@ class TestControllerTimeLimit:
         r1 = c.optimize(np.zeros(12), np.zeros(4))
         r2 = c.optimize(np.zeros(12), np.zeros(4))
         assert int(np.asarray(r2.status)) == int(ResultStatus.SUCCESS)
+
+
+class TestBudgeter:
+    def test_budget_clamps_to_int32(self):
+        """A generous deadline over a fast solve must clamp at NO_BUDGET:
+        callers stage the budget as an int32 device scalar, so an unclamped
+        value would raise OverflowError on every subsequent solve."""
+        from libmpc_tpu.utils import deadline
+
+        b = deadline.IterationBudgeter()
+        b.record(1.0, 10)  # compile-polluted: skipped by design
+        b.record(5e-4, 500)  # 1e-6 s/iteration
+        cap = b.budget(3600.0)  # naive budget 3.6e9 > int32 max
+        assert cap == deadline.NO_BUDGET
+        jnp.asarray(cap, jnp.int32)  # must stage without overflow
+        assert b.budget(1e-3) == 1000

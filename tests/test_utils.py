@@ -142,3 +142,20 @@ class TestProfiler:
         assert "Solution stats:" in text
         assert "MAX_ITERATION" in text
         assert "num: 1" in text
+
+
+class TestProfilerLazyFlush:
+    def test_pending_list_stays_bounded(self, monkeypatch):
+        """Lazy-mode records pin live device scalars; an unread profiler
+        must flush opportunistically instead of growing without bound."""
+        from libmpc_tpu.utils import profiler as prof_mod
+
+        monkeypatch.setattr(prof_mod, "_PENDING_FLUSH", 4)
+        prof = Profiler()
+        for _ in range(10):
+            prof.solution_start()
+            prof.solution_end(_mk_result(), lazy=True)
+        assert len(prof._pending) < 4
+        s = prof.get_stats()
+        assert s.number_of_solutions == 10
+        assert s.solutions_states[ResultStatus.SUCCESS] == 10
