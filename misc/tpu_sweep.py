@@ -1,0 +1,167 @@
+"""One-process TPU tuning sweep (run when the chip is available).
+
+Batches every open tuning question into a single process (the axon tunnel
+allows one TPU client at a time; each compiled program costs minutes of
+remote compile, so everything runs from one script with flushed output so a
+timeout still leaves partial results):
+
+  1. LMPC polish_active_cap sweep (polish cost vs cap) at the bench config;
+  2. LMPC maximum_iteration sweep (lockstep-tail cost of stragglers);
+  3. NLMPC batch-size scaling (1024 / 2048 / 4096);
+  4. NLMPC hessian_reg A/B (gershgorin vs power) at the bench config.
+
+Every timed program returns device arrays consumed once at the end of the
+rep loop; inputs differ per rep (identical (executable, input) pairs are
+result-cached by the transport).
+
+Usage: python misc/tpu_sweep.py [section ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# persistent compile cache: harmless if the backend ignores it, an
+# hours-level saving per session if it works over the remote-compile path
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+REPS = 8
+
+
+def _rate_lmpc(params, B=16384, reps=REPS):
+    """Pipelined steady-state LMPC solves/s at the bench configuration."""
+    from __graft_entry__ import _quadrotor_setup
+    from libmpc_tpu.lmpc.controller import build_prepared, solve_body
+
+    dtype = jnp.float32
+    c = _quadrotor_setup(dtype)
+    c.set_optimizer_parameters(params)
+    dims, prob = c.dims, c._prob
+    built = build_prepared(dims, params, prob,
+                           c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+
+    @jax.jit
+    def step(x0, u0, warm_x, warm_y, have_warm):
+        result, seq, sol_x, sol_y, iters = solve_body(
+            dims, params, prob, x0, u0,
+            c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+            warm_x, warm_y, have_warm, jnp.zeros_like(u0), built=built,
+        )
+        return result.cmd, sol_x, sol_y, iters
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+    u = jnp.zeros((B, 4), dtype)
+    wx = jnp.zeros((B, dims.nz), dtype)
+    wy = jnp.zeros((B, dims.m), dtype)
+    u, wx, wy, it = step(x0, u, wx, wy, jnp.asarray(False))
+    jax.block_until_ready(u)
+    u, wx, wy, it = step(x0, u, wx, wy, jnp.asarray(True))
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u, wx, wy, it = step(x0, u, wx, wy, jnp.asarray(True))
+    jax.block_until_ready(u)
+    dt = time.perf_counter() - t0
+    return B * reps / dt, float(jnp.mean(it))
+
+
+def _rate_nlmpc(params, B=1024, reps=6):
+    """Pipelined steady-state VdP NLMPC solves/s."""
+    from libmpc_tpu import NLMPC
+
+    def vdp(x, u, k):
+        return jnp.stack([(1.0 - x[1] * x[1]) * x[0] - x[1] + u[0], x[0]])
+
+    c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=jnp.float32)
+    c.set_discretization_sampling_time(0.1)
+    c.set_optimizer_parameters(params)
+    c.set_state_space_function(vdp)
+    c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+    c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+    c.set_stats_mode("lazy")
+    rng = np.random.default_rng(0)
+    x0 = np.asarray(rng.uniform(-1, 1, size=(B, 2)), np.float32)
+    res = c.optimize(x0, np.zeros((B, 1), np.float32))
+    res = c.optimize(x0, res.cmd)
+    jax.block_until_ready(res.cmd)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = c.optimize(x0, res.cmd)
+    jax.block_until_ready(res.cmd)
+    rate = B * reps / (time.perf_counter() - t0)
+    success = float(np.mean(np.asarray(res.status) == 0))
+    return rate, success
+
+
+def section_polish_cap():
+    from libmpc_tpu import LParameters
+
+    for cap in (24, 32, 40, 56):
+        p = LParameters(maximum_iteration=100, enable_warm_start=True,
+                        polish=True, polish_mode="shared", rho=0.01,
+                        polish_active_cap=cap)
+        r, it = _rate_lmpc(p)
+        print(f"polish_active_cap={cap:3d}: {r:9.1f} solves/s "
+              f"(iters {it:.1f})", flush=True)
+
+
+def section_max_iter():
+    from libmpc_tpu import LParameters
+
+    for mi in (75, 100, 150):
+        p = LParameters(maximum_iteration=mi, enable_warm_start=True,
+                        polish=True, polish_mode="shared", rho=0.01)
+        r, it = _rate_lmpc(p)
+        print(f"maximum_iteration={mi:3d}: {r:9.1f} solves/s "
+              f"(iters {it:.1f})", flush=True)
+
+
+def section_nlmpc_batch():
+    from libmpc_tpu import NLParameters
+
+    p = NLParameters(maximum_iteration=30, enable_warm_start=True,
+                     inner_qp="fused", hessian_reg="gershgorin")
+    for B in (1024, 2048, 4096):
+        r, s = _rate_nlmpc(p, B=B)
+        print(f"nlmpc B={B:5d}: {r:9.1f} solves/s (success {s:.3f})",
+              flush=True)
+
+
+def section_hessian_reg():
+    from libmpc_tpu import NLParameters
+
+    for reg in ("gershgorin", "power", "eigh"):
+        p = NLParameters(maximum_iteration=30, enable_warm_start=True,
+                         inner_qp="fused", hessian_reg=reg)
+        r, s = _rate_nlmpc(p)
+        print(f"hessian_reg={reg:10s}: {r:9.1f} solves/s (success {s:.3f})",
+              flush=True)
+
+
+SECTIONS = {
+    "polish_cap": section_polish_cap,
+    "max_iter": section_max_iter,
+    "nlmpc_batch": section_nlmpc_batch,
+    "hessian_reg": section_hessian_reg,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(SECTIONS)
+    print(f"device={jax.devices()[0]}", flush=True)
+    for name in names:
+        print(f"== {name} ==", flush=True)
+        try:
+            SECTIONS[name]()
+        except Exception as e:  # keep later sections alive past one failure
+            print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
