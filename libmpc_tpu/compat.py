@@ -29,7 +29,9 @@ import numpy as np
 from . import types as _t
 from .lmpc.controller import LMPC as _LMPC
 from .nlmpc.controller import NLMPC as _NLMPC
-from .types import HorizonSlice, ResultStatus
+# Result/OptSequence are module-scope types in the reference binding
+# (reference: python/pybind_export.cpp:173-178, 209-212)
+from .types import HorizonSlice, OptSequence, Result, ResultStatus
 from .utils.logger import LogLevel as LoggerLevel
 from .utils.profiler import SolutionStats
 
@@ -41,6 +43,8 @@ __all__ = [
     "NLParameters",
     "HorizonSlice",
     "LoggerLevel",
+    "Result",
+    "OptSequence",
     "ResultStatus",
     "SolutionStats",
     # export_values() puts enum members at module scope too

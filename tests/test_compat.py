@@ -116,3 +116,15 @@ class TestLMPCScript:
         np_ = mpc.NLParameters()
         np_.hard_constraints = False
         assert np_._frozen().hard_constraints is False
+
+
+def test_module_scope_types_match_pybind_export():
+    """Every module-scope type of the reference binding exists here
+    (reference: python/pybind_export.cpp:129-212)."""
+    for name in ("LMPC", "NLMPC", "Parameters", "LParameters",
+                 "NLParameters", "Result", "OptSequence", "SolutionStats",
+                 "ResultStatus", "LoggerLevel", "HorizonSlice"):
+        assert hasattr(mpc, name), name
+    # enum members exported at module scope (export_values parity)
+    assert mpc.SUCCESS == mpc.ResultStatus.SUCCESS
+    assert mpc.NORMAL == mpc.LoggerLevel.NORMAL
