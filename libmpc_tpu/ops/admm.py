@@ -865,7 +865,8 @@ def _polish_shared(P, A, q, l, u, sol_x, sol_y, sol_z, params: LParameters,
             return x, nu, r1, r2
 
         x, nu, _, _ = jax.lax.fori_loop(
-            0, 8, incremental, (x, nu, r1, r2)
+            0, max(params.polish_comp_passes, 0), incremental,
+            (x, nu, r1, r2)
         )
         x_pol, y_pol = x, nu
     else:

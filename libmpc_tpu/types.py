@@ -124,6 +124,12 @@ class LParameters(Parameters):
     # the row-sharded path)
     polish_mode: str = "shared"
     polish_active_cap: int = 40
+    # float32 shared-polish refinement budget: number of incremental
+    # residual-update passes run after the compensated anchor (each pass
+    # contracts the residual ~0.7x below the float32 matvec floor; the
+    # default leaves ~13x margin to the 1e-4 golden target on the
+    # quadrotor family — lower it to trade accuracy margin for step time)
+    polish_comp_passes: int = 8
     sigma: float = 1e-6
     scaling_iters: int = 10
     # fuse iteration blocks into a VMEM-resident Pallas kernel on TPU

@@ -148,11 +148,48 @@ def section_hessian_reg():
               flush=True)
 
 
+def _golden_err(params):
+    from __graft_entry__ import _quadrotor_setup
+    from libmpc_tpu.lmpc import problem as qp
+    from libmpc_tpu.ops import admm
+
+    dtype = jnp.float32
+    c = _quadrotor_setup(dtype)
+    golden = np.array([-0.9916, 1.74839, -0.9916, 1.74839])
+    dims, prob = c.dims, c._prob
+    P, A, lineq, uineq = qp.build_time_invariant(dims, prob)
+    with jax.default_matmul_precision("highest"):
+        q, l, u = qp.build_time_varying(
+            dims, prob, lineq, uineq, jnp.zeros((12,), dtype),
+            jnp.zeros((4,), dtype),
+            c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+    sol = admm.admm_solve(P, A, q, l, u, params,
+                          eq_mask=jnp.arange(dims.m) < dims.n_eq)
+    _, inputs, _ = qp.unpack_solution(dims, prob, sol.x, c._u_meas)
+    return float(np.abs(np.asarray(inputs)[0] - golden).max())
+
+
+def section_polish_passes():
+    """Rate AND golden accuracy per compensated-refinement pass count —
+    CPU-f32 pre-screen: 4 passes 4.0e-5, 8 passes 2.1e-5 (target <1e-4)."""
+    from libmpc_tpu import LParameters
+
+    for passes in (4, 6, 8):
+        p = LParameters(maximum_iteration=100, enable_warm_start=True,
+                        polish=True, polish_mode="shared", rho=0.01,
+                        polish_comp_passes=passes)
+        r, it = _rate_lmpc(p)
+        err = _golden_err(p)
+        print(f"polish_comp_passes={passes}: {r:9.1f} solves/s "
+              f"golden_err={err:.2e}", flush=True)
+
+
 SECTIONS = {
     "polish_cap": section_polish_cap,
     "max_iter": section_max_iter,
     "nlmpc_batch": section_nlmpc_batch,
     "hessian_reg": section_hessian_reg,
+    "polish_passes": section_polish_passes,
 }
 
 

@@ -230,3 +230,35 @@ class TestPolish:
         assert err < 1e-6
         assert np.allclose(np.asarray(polished.x), np.asarray(direct.x),
                            atol=1e-7)
+
+    def test_polish_comp_passes_knob(self):
+        """float32 shared polish: the compensated-refinement pass budget
+        trades accuracy margin for step time gracefully (CPU-f32 curve:
+        0 passes ~9e-4, 4 passes ~4e-5, 8 passes ~2e-5 vs the f64 golden)."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _quadrotor_setup
+        from libmpc_tpu.lmpc import problem as qp
+        import jax
+
+        dtype = jnp.float32
+        c = _quadrotor_setup(dtype)
+        golden = np.array([-0.9916, 1.74839, -0.9916, 1.74839])
+        dims, prob = c.dims, c._prob
+        P, A, lineq, uineq = qp.build_time_invariant(dims, prob)
+        with jax.default_matmul_precision("highest"):
+            q, l, u = qp.build_time_varying(
+                dims, prob, lineq, uineq, jnp.zeros((12,), dtype),
+                jnp.zeros((4,), dtype),
+                c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+        errs = {}
+        for passes in (0, 4, 8):
+            p = LParameters(maximum_iteration=100, polish=True,
+                            polish_mode="shared", rho=0.01,
+                            polish_comp_passes=passes)
+            sol = admm.admm_solve(P, A, q, l, u, p,
+                                  eq_mask=jnp.arange(dims.m) < dims.n_eq)
+            _, inputs, _ = qp.unpack_solution(dims, prob, sol.x, c._u_meas)
+            errs[passes] = float(np.abs(np.asarray(inputs)[0] - golden).max())
+        assert errs[4] < 1e-4
+        assert errs[8] <= errs[4] <= errs[0]
