@@ -395,7 +395,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         # x-update: (P + sigma I + A'RA) xt = sigma x - q + A'(R z - y)
         rhs = sigma * x - qs + _psum_rows((rho_vec * z - y) @ A, axis_rows)
         xt = rhs @ state.Minv  # Minv symmetric
-        if f32:
+        if f32 and params.x_refine:
             # one refinement pass against M recovers the digits the explicit
             # f32 inverse loses
             xt = xt + (rhs - xt @ state.M) @ state.Minv
@@ -589,7 +589,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 state.x, state.z, state.y, state.done, qs, ls, us,
                 A, state.M, state.Minv, rho_vec_of(state.rho),
                 sigma=sigma_v, alpha=params.alpha, k_iters=check_every,
-                refine=f32,
+                refine=f32 and params.x_refine,
             )
             state = state._replace(
                 x=x, z=z, y=y,

@@ -130,6 +130,13 @@ class LParameters(Parameters):
     # default leaves ~13x margin to the 1e-4 golden target on the
     # quadrotor family — lower it to trade accuracy margin for step time)
     polish_comp_passes: int = 8
+    # float32 iteration extras: one iterative-refinement pass of every
+    # ADMM x-update against the true KKT matrix (recovers the digits the
+    # explicit f32 inverse loses, at ~2 extra (n, n) matmuls per
+    # iteration — about a quarter of the iteration FLOPs).  With the
+    # shared polish repairing final accuracy this is a speed/robustness
+    # tradeoff, not an accuracy requirement.
+    x_refine: bool = True
     sigma: float = 1e-6
     scaling_iters: int = 10
     # fuse iteration blocks into a VMEM-resident Pallas kernel on TPU

@@ -184,12 +184,28 @@ def section_polish_passes():
               f"golden_err={err:.2e}", flush=True)
 
 
+def section_x_refine():
+    """Per-iteration x-update refinement on/off: ~25% of iteration FLOPs
+    vs iteration count / golden accuracy (polish repairs the endpoint)."""
+    from libmpc_tpu import LParameters
+
+    for refine in (True, False):
+        p = LParameters(maximum_iteration=100, enable_warm_start=True,
+                        polish=True, polish_mode="shared", rho=0.01,
+                        x_refine=refine)
+        r, it = _rate_lmpc(p)
+        err = _golden_err(p)
+        print(f"x_refine={str(refine):5s}: {r:9.1f} solves/s "
+              f"(iters {it:.1f}) golden_err={err:.2e}", flush=True)
+
+
 SECTIONS = {
     "polish_cap": section_polish_cap,
     "max_iter": section_max_iter,
     "nlmpc_batch": section_nlmpc_batch,
     "hessian_reg": section_hessian_reg,
     "polish_passes": section_polish_passes,
+    "x_refine": section_x_refine,
 }
 
 
