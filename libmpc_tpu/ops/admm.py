@@ -389,7 +389,10 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         Minv=Minv0,
     )
 
-    def one_iteration(state: _LoopState) -> _LoopState:
+    # qs/ls/us are explicit parameters (shadowing the full-batch closure
+    # variables) so the same block functions serve both the full batch and
+    # the compacted straggler batch (see "straggler compaction" below)
+    def one_iteration(state: _LoopState, qs, ls, us) -> _LoopState:
         x, z, y = state.x, state.z, state.y
         rho_vec = rho_vec_of(state.rho)
         # x-update: (P + sigma I + A'RA) xt = sigma x - q + A'(R z - y)
@@ -418,7 +421,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             iters=state.iters + jnp.where(state.done, 0, 1),
         )
 
-    def termination_check(state: _LoopState) -> _LoopState:
+    def termination_check(state: _LoopState, qs, ls, us) -> _LoopState:
         x, z, y = state.x, state.z, state.y
         # -- unscaled residuals ------------------------------------------
         Ax = x @ A.T
@@ -584,7 +587,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
     if use_pallas:
         from . import admm_pallas
 
-        def block(state: _LoopState):
+        def block(state: _LoopState, qs, ls, us):
             x, z, y = admm_pallas.fused_iterations(
                 state.x, state.z, state.y, state.done, qs, ls, us,
                 A, state.M, state.Minv, rho_vec_of(state.rho),
@@ -595,15 +598,16 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 x=x, z=z, y=y,
                 iters=state.iters + jnp.where(state.done, 0, check_every),
             )
-            return termination_check(state)
+            return termination_check(state, qs, ls, us)
 
     else:
 
-        def block(state: _LoopState):
+        def block(state: _LoopState, qs, ls, us):
             state = jax.lax.fori_loop(
-                0, check_every, lambda _, s: one_iteration(s), state
+                0, check_every, lambda _, s: one_iteration(s, qs, ls, us),
+                state,
             )
-            return termination_check(state)
+            return termination_check(state, qs, ls, us)
 
     budget = jnp.asarray(iter_budget, jnp.int32)
 
@@ -613,11 +617,80 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
 
     def body(state_k):
         state, k = state_k
-        return block(state), k + 1
+        return block(state, qs, ls, us), k + 1
+
+    # -- straggler compaction ------------------------------------------
+    # Lockstep batches pay for their slowest instance: at the production
+    # bench ~1% of a warm 16k batch stalls past the first check and drags
+    # the WHOLE batch through every remaining block.  When the active
+    # count falls to ``cap`` (a static 1/16th of the batch), the
+    # unconverged instances are compacted into a cap-sized batch and only
+    # that continues — identical per-row math (frozen rows never update;
+    # gathers preserve rows), identical check cadence, identical adaptive
+    # rho (its statistics only ever average over active instances).
+    # Single-chip batched path only: under a sharded batch axis the
+    # per-shard psum counts must stay aligned across shards.
+    cap = 8
+    while cap * 32 <= B:
+        cap *= 2
+    compact = (
+        params.compact_stragglers
+        and axis_rows is None
+        and axis_batch is None
+        and cap < B
+        and B >= 256
+    )
+
+    if compact:
+        def cond1(state_k):
+            state, k = state_k
+            return cond(state_k) & (jnp.sum(~state.done) > cap)
+    else:
+        cond1 = cond
 
     state, k_fin = jax.lax.while_loop(
-        cond, body, (init, jnp.asarray(0, jnp.int32))
+        cond1, body, (init, jnp.asarray(0, jnp.int32))
     )
+
+    if compact:
+        def phase2(state, k1):
+            _, idx = jax.lax.top_k((~state.done).astype(jnp.float32), cap)
+            take = lambda a: jnp.take(a, idx, axis=0)
+            sub = state._replace(
+                x=take(state.x), z=take(state.z), y=take(state.y),
+                x_prev=take(state.x_prev), y_prev=take(state.y_prev),
+                iters=take(state.iters), done=take(state.done),
+                status=take(state.status), pri_res=take(state.pri_res),
+                dua_res=take(state.dua_res),
+            )
+            qs_c, ls_c, us_c = take(qs), take(ls), take(us)
+
+            def body_sub(state_k):
+                s, k = state_k
+                return block(s, qs_c, ls_c, us_c), k + 1
+
+            sub, k2 = jax.lax.while_loop(cond, body_sub, (sub, k1))
+            put = lambda a, b: a.at[idx].set(b)
+            state = state._replace(
+                x=put(state.x, sub.x), z=put(state.z, sub.z),
+                y=put(state.y, sub.y),
+                x_prev=put(state.x_prev, sub.x_prev),
+                y_prev=put(state.y_prev, sub.y_prev),
+                iters=put(state.iters, sub.iters),
+                done=put(state.done, sub.done),
+                status=put(state.status, sub.status),
+                pri_res=put(state.pri_res, sub.pri_res),
+                dua_res=put(state.dua_res, sub.dua_res),
+                rho=sub.rho, M=sub.M, Minv=sub.Minv, stop=sub.stop,
+            )
+            return state, k2
+
+        need2 = (
+            ~state.stop & (k_fin < n_blocks) & (k_fin * check_every < budget)
+        )
+        state, k_fin = jax.lax.cond(
+            need2, phase2, lambda s, k: (s, k), state, k_fin
+        )
 
     # instances that never converged: distinguish a budget (time-limit) stop
     # from an ordinary max-iteration exhaustion, like OSQP's

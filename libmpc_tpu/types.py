@@ -137,6 +137,11 @@ class LParameters(Parameters):
     # shared polish repairing final accuracy this is a speed/robustness
     # tradeoff, not an accuracy requirement.
     x_refine: bool = True
+    # lockstep batches pay for their slowest instance: once the number of
+    # unconverged instances falls to 1/16 of the batch, compact them into
+    # a small batch and iterate only that (identical per-row math and
+    # check cadence; single-chip batched path, batch >= 256)
+    compact_stragglers: bool = True
     sigma: float = 1e-6
     scaling_iters: int = 10
     # fuse iteration blocks into a VMEM-resident Pallas kernel on TPU

@@ -262,3 +262,29 @@ class TestPolish:
             errs[passes] = float(np.abs(np.asarray(inputs)[0] - golden).max())
         assert errs[4] < 1e-4
         assert errs[8] <= errs[4] <= errs[0]
+
+
+class TestStragglerCompaction:
+    def test_compaction_matches_lockstep_bitwise(self):
+        """Once actives fall to cap, the solver gathers them into a small
+        batch and continues — per-row math, check cadence and adaptive-rho
+        statistics are identical, so results must match the full-lockstep
+        path exactly."""
+        rng = np.random.default_rng(0)
+        B = 512
+        P, A, q, l, u = random_qp(rng, 10, 17, batch=B)
+        args = tuple(map(jnp.asarray, (P, A, q, l, u)))
+        for extra in (
+            dict(maximum_iteration=4000, eps_abs=1e-8, eps_rel=1e-8,
+                 rho=0.1, adaptive_rho=False, scaling_iters=0, polish=False),
+            dict(maximum_iteration=200, rho=0.01, polish=True,
+                 polish_mode="shared"),
+        ):
+            on = admm.admm_solve(
+                *args, LParameters(compact_stragglers=True, **extra))
+            off = admm.admm_solve(
+                *args, LParameters(compact_stragglers=False, **extra))
+            assert np.array_equal(np.asarray(on.status), np.asarray(off.status))
+            assert np.array_equal(np.asarray(on.iters), np.asarray(off.iters))
+            assert np.array_equal(np.asarray(on.x), np.asarray(off.x))
+            assert np.array_equal(np.asarray(on.y), np.asarray(off.y))
