@@ -199,6 +199,57 @@ def section_x_refine():
               f"(iters {it:.1f}) golden_err={err:.2e}", flush=True)
 
 
+def section_scan_steps():
+    """Dispatch-overhead isolation: K control steps fused into ONE jitted
+    lax.scan (one tunnel round trip) vs K pipelined dispatches.  If the
+    per-execution fixed cost (~32 ms over the tunnel) dominates, the scan
+    rate is the solver's true ceiling and rollout.py-style serving is the
+    production shape."""
+    from __graft_entry__ import _quadrotor_setup
+    from libmpc_tpu import LParameters
+    from libmpc_tpu.lmpc.controller import build_prepared, solve_body
+
+    dtype = jnp.float32
+    B, K = 16384, 8
+    c = _quadrotor_setup(dtype)
+    params = LParameters(maximum_iteration=100, enable_warm_start=True,
+                         polish=True, polish_mode="shared", rho=0.01)
+    c.set_optimizer_parameters(params)
+    dims, prob = c.dims, c._prob
+    built = build_prepared(dims, params, prob,
+                           c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+
+    @jax.jit
+    def run(x0s, u0, warm_x, warm_y):
+        def step(carry, x0):
+            u, wx, wy = carry
+            result, seq, sx, sy, iters = solve_body(
+                dims, params, prob, x0, u,
+                c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+                wx, wy, jnp.asarray(True), jnp.zeros_like(u), built=built,
+            )
+            return (result.cmd, sx, sy), iters
+        (u, wx, wy), its = jax.lax.scan(step, (u0, warm_x, warm_y), x0s)
+        return u, wx, wy, its
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.05 * rng.normal(size=(K, B, 12)), dtype)
+    u = jnp.zeros((B, 4), dtype)
+    wx = jnp.zeros((B, dims.nz), dtype)
+    wy = jnp.zeros((B, dims.m), dtype)
+    u, wx, wy, its = run(x0s, u, wx, wy)
+    jax.block_until_ready(u)
+    reps = 4
+    t0 = time.perf_counter()
+    for i in range(reps):
+        u, wx, wy, its = run(x0s, u, wx, wy)
+    jax.block_until_ready(u)
+    dt = time.perf_counter() - t0
+    print(f"scan({K} steps, B={B}): {B * K * reps / dt:9.1f} solves/s "
+          f"({dt / (reps * K) * 1e3:.1f} ms/step, iters {float(jnp.mean(its)):.1f})",
+          flush=True)
+
+
 SECTIONS = {
     "polish_cap": section_polish_cap,
     "max_iter": section_max_iter,
@@ -206,6 +257,7 @@ SECTIONS = {
     "hessian_reg": section_hessian_reg,
     "polish_passes": section_polish_passes,
     "x_refine": section_x_refine,
+    "scan_steps": section_scan_steps,
 }
 
 
