@@ -226,3 +226,27 @@ class TestFleetStatsBuckets:
                  + int(stats.n_unknown))
         assert total == int(stats.n_total) == 8
         assert "UNKNOWN" in str(stats)
+
+
+class TestFleetCompaction:
+    def test_shard_level_compaction_is_bitwise_invisible(self, mesh8):
+        """With 256 instances per shard the in-shard straggler compaction
+        engages inside shard_map; it must not change results at all
+        (any fleet-vs-plain delta comes from per-shard adaptive-rho
+        statistics, identical with compaction on and off)."""
+        import dataclasses
+        B = 2048
+        rng = np.random.default_rng(1)
+        x0 = 0.02 * rng.normal(size=(B, 12))
+        u0 = np.zeros((B, 4))
+        cmds = {}
+        for compact in (True, False):
+            c = make_quadrotor_controller()
+            c.set_optimizer_parameters(dataclasses.replace(
+                c._params, maximum_iteration=60, enable_warm_start=True,
+                compact_stragglers=compact))
+            fleet = LMPCFleet(c, mesh8)
+            rf, stats = fleet.optimize(x0, u0)
+            assert int(stats.n_success) == B
+            cmds[compact] = np.asarray(rf.cmd)
+        assert np.array_equal(cmds[True], cmds[False])
