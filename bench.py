@@ -47,38 +47,56 @@ def main():
     # OSQP_SOLVED_INACCURATE like the reference would).
     # rho=0.01 (vs the reference's 1e-6 default) improves the float32
     # iteration floor on this problem family; parity defaults are unchanged.
-    c.set_optimizer_parameters(
-        LParameters(maximum_iteration=100, enable_warm_start=True,
-                    polish=True, polish_mode="shared", rho=0.01)
-    )
-    dims, params, prob = c.dims, c._params, c._prob
-    # time-invariant setup hoisted out of the control steps (the controller
-    # path caches this in _ensure_built; without it every step re-runs the
-    # Cholesky/Newton polish preparation — ~100 ms at this size)
-    built = build_prepared(dims, params, prob,
-                           c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+    base_params = LParameters(maximum_iteration=100, enable_warm_start=True,
+                              polish=True, polish_mode="shared", rho=0.01)
+    # straggler compaction is new this round and cannot be pre-validated on
+    # real hardware from CI: if its program fails to compile/run on the
+    # bench device, fall back to full lockstep rather than record nothing
+    import dataclasses as _dc
+    fallback_params = _dc.replace(base_params, compact_stragglers=False)
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=())
-    def step(prob, x0, u0, warm_x, warm_y, have_warm, built):
-        result, seq, sol_x, sol_y, iters = solve_body(
-            dims, params, prob, x0, u0,
-            c._y_ref, c._u_ref, c._du_ref, c._u_meas,
-            warm_x, warm_y, have_warm, jnp.zeros_like(u0),
-            built=built,
-        )
-        return result, sol_x, sol_y, iters
-
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
-    u0 = jnp.zeros((B, 4), dtype)
-    warm_x = jnp.zeros((B, dims.nz), dtype)
-    warm_y = jnp.zeros((B, dims.m), dtype)
 
-    # warm-up: compile + 2 steps to reach the warm-started steady state
-    result, warm_x, warm_y, iters = step(prob, x0, u0, warm_x, warm_y, jnp.asarray(False), built)
-    jax.block_until_ready(warm_x)
+    def build_step(params):
+        c.set_optimizer_parameters(params)
+        dims, prob = c.dims, c._prob
+        # time-invariant setup hoisted out of the control steps (the
+        # controller path caches this in _ensure_built; without it every
+        # step re-runs the Cholesky/Newton polish preparation — ~100 ms)
+        built = build_prepared(dims, params, prob,
+                               c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def step(prob, x0, u0, warm_x, warm_y, have_warm, built):
+            result, seq, sol_x, sol_y, iters = solve_body(
+                dims, params, prob, x0, u0,
+                c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+                warm_x, warm_y, have_warm, jnp.zeros_like(u0),
+                built=built,
+            )
+            return result, sol_x, sol_y, iters
+
+        return dims, prob, built, step
+
+    for params in (base_params, fallback_params):
+        dims, prob, built, step = build_step(params)
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+        u0 = jnp.zeros((B, 4), dtype)
+        warm_x = jnp.zeros((B, dims.nz), dtype)
+        warm_y = jnp.zeros((B, dims.m), dtype)
+        try:
+            # warm-up: compile + 2 steps to the warm-started steady state
+            result, warm_x, warm_y, iters = step(
+                prob, x0, u0, warm_x, warm_y, jnp.asarray(False), built)
+            jax.block_until_ready(warm_x)
+            break
+        except Exception as exc:  # pragma: no cover - hardware-specific
+            if params is fallback_params:
+                raise
+            print(f"# compaction path failed on this device, falling back: "
+                  f"{type(exc).__name__}", file=sys.stderr)
     result, warm_x, warm_y, iters = step(prob, x0, result.cmd, warm_x, warm_y, jnp.asarray(True), built)
     jax.block_until_ready(warm_x)
 
