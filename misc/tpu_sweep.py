@@ -199,6 +199,22 @@ def section_x_refine():
               f"(iters {it:.1f}) golden_err={err:.2e}", flush=True)
 
 
+def section_check_every():
+    """With straggler compaction, an earlier first check compacts sooner
+    (trading a few extra residual evaluations for fewer full-batch
+    iteration blocks)."""
+    from libmpc_tpu import LParameters
+
+    for ce in (10, 15, 25):
+        p = LParameters(maximum_iteration=100, enable_warm_start=True,
+                        polish=True, polish_mode="shared", rho=0.01,
+                        check_termination=ce)
+        r, it = _rate_lmpc(p)
+        err = _golden_err(p)
+        print(f"check_termination={ce:2d}: {r:9.1f} solves/s "
+              f"(iters {it:.1f}) golden_err={err:.2e}", flush=True)
+
+
 def section_scan_steps():
     """Dispatch-overhead isolation: K control steps fused into ONE jitted
     lax.scan (one tunnel round trip) vs K pipelined dispatches.  If the
@@ -257,6 +273,7 @@ SECTIONS = {
     "hessian_reg": section_hessian_reg,
     "polish_passes": section_polish_passes,
     "x_refine": section_x_refine,
+    "check_every": section_check_every,
     "scan_steps": section_scan_steps,
 }
 
