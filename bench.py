@@ -80,9 +80,10 @@ def main():
 
         return dims, prob, built, step
 
+    x0_host = 0.05 * rng.normal(size=(B, 12))
     for params in (base_params, fallback_params):
         dims, prob, built, step = build_step(params)
-        x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+        x0 = jnp.asarray(x0_host, dtype)
         u0 = jnp.zeros((B, 4), dtype)
         warm_x = jnp.zeros((B, dims.nz), dtype)
         warm_y = jnp.zeros((B, dims.m), dtype)

@@ -43,7 +43,9 @@ def main():
     controller.set_optimizer_parameters(LParameters(
         maximum_iteration=100, enable_warm_start=True,
         polish=True, polish_mode="shared", rho=0.01,
-        time_limit=0.25,           # 250 ms deadline per fleet solve
+        time_limit=5.0,            # generous per-solve deadline: the
+        # budget machinery runs (calibration, traced cap) without
+        # deadline-stopping healthy instances on slow CI hosts
     ))
     controller.set_stats_mode("lazy")
     fleet = LMPCFleet(controller, mesh)

@@ -626,8 +626,12 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
     # count falls to ``cap`` (a static 1/16th of the batch), the
     # unconverged instances are compacted into a cap-sized batch and only
     # that continues — identical per-row math (frozen rows never update;
-    # gathers preserve rows), identical check cadence, identical adaptive
-    # rho (its statistics only ever average over active instances).
+    # gathers preserve rows) and identical check cadence.  With fixed rho
+    # the results are bitwise identical; with adaptive rho the statistics
+    # average over the same active instances but the reduction SHAPE
+    # changes (B -> cap), so the masked log-sum may associate differently
+    # and rho can move by an ulp — results then agree to rounding, not
+    # bitwise.
     # Single-chip batched path only: under a sharded batch axis the
     # per-shard psum counts must stay aligned across shards.
     cap = 8
@@ -685,11 +689,8 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             )
             return state, k2
 
-        need2 = (
-            ~state.stop & (k_fin < n_blocks) & (k_fin * check_every < budget)
-        )
         state, k_fin = jax.lax.cond(
-            need2, phase2, lambda s, k: (s, k), state, k_fin
+            cond((state, k_fin)), phase2, lambda s, k: (s, k), state, k_fin
         )
 
     # instances that never converged: distinguish a budget (time-limit) stop
@@ -1072,6 +1073,13 @@ def _admm_solve_hp(
     dtype = P.dtype
     B, n = q.shape
     m = A.shape[0]
+    # batched q with shared (m,) bounds: materialize the batch axis so every
+    # downstream row operation (including the straggler-compaction gathers)
+    # sees (B, m) arrays
+    if l.ndim == 1:
+        l = jnp.broadcast_to(l, (B, m))
+    if u.ndim == 1:
+        u = jnp.broadcast_to(u, (B, m))
 
     # rho_vec is shared across the batch (one shared KKT factorization), so
     # per-instance structure must reduce conservatively over the batch: a row

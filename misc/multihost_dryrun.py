@@ -38,8 +38,8 @@ GOLDEN = [-0.9916, 1.74839, -0.9916, 1.74839]
 
 def worker(pid: int, port: int) -> None:
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={DEV_PER_PROC} "
-        + os.environ.get("XLA_FLAGS", "")
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
     )
     import jax
 

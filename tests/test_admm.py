@@ -235,8 +235,10 @@ class TestPolish:
         """float32 shared polish: the compensated-refinement pass budget
         trades accuracy margin for step time gracefully (CPU-f32 curve:
         0 passes ~9e-4, 4 passes ~4e-5, 8 passes ~2e-5 vs the f64 golden)."""
+        import os
         import sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
         from __graft_entry__ import _quadrotor_setup
         from libmpc_tpu.lmpc import problem as qp
         import jax
@@ -265,26 +267,48 @@ class TestPolish:
 
 
 class TestStragglerCompaction:
-    def test_compaction_matches_lockstep_bitwise(self):
+    def test_compaction_matches_lockstep(self):
         """Once actives fall to cap, the solver gathers them into a small
-        batch and continues — per-row math, check cadence and adaptive-rho
-        statistics are identical, so results must match the full-lockstep
-        path exactly."""
+        batch and continues — bitwise-identical with fixed rho; with
+        adaptive rho the masked reduction shape changes (B -> cap) so the
+        shared rho may differ by an ulp and results agree to rounding."""
         rng = np.random.default_rng(0)
         B = 512
         P, A, q, l, u = random_qp(rng, 10, 17, batch=B)
         args = tuple(map(jnp.asarray, (P, A, q, l, u)))
-        for extra in (
-            dict(maximum_iteration=4000, eps_abs=1e-8, eps_rel=1e-8,
-                 rho=0.1, adaptive_rho=False, scaling_iters=0, polish=False),
-            dict(maximum_iteration=200, rho=0.01, polish=True,
-                 polish_mode="shared"),
+        for exact, extra in (
+            (True, dict(maximum_iteration=4000, eps_abs=1e-8, eps_rel=1e-8,
+                        rho=0.1, adaptive_rho=False, scaling_iters=0,
+                        polish=False)),
+            (False, dict(maximum_iteration=200, rho=0.01, polish=True,
+                         polish_mode="shared")),
         ):
             on = admm.admm_solve(
                 *args, LParameters(compact_stragglers=True, **extra))
             off = admm.admm_solve(
                 *args, LParameters(compact_stragglers=False, **extra))
             assert np.array_equal(np.asarray(on.status), np.asarray(off.status))
-            assert np.array_equal(np.asarray(on.iters), np.asarray(off.iters))
-            assert np.array_equal(np.asarray(on.x), np.asarray(off.x))
-            assert np.array_equal(np.asarray(on.y), np.asarray(off.y))
+            if exact:
+                assert np.array_equal(np.asarray(on.iters), np.asarray(off.iters))
+                assert np.array_equal(np.asarray(on.x), np.asarray(off.x))
+                assert np.array_equal(np.asarray(on.y), np.asarray(off.y))
+            else:
+                assert np.allclose(np.asarray(on.x), np.asarray(off.x),
+                                   atol=1e-9)
+                assert np.allclose(np.asarray(on.y), np.asarray(off.y),
+                                   atol=1e-9)
+
+    def test_compaction_with_shared_unbatched_bounds(self):
+        """Batched q with shared (m,) l/u must keep working (the bounds are
+        broadcast to the batch before the compaction gathers)."""
+        rng = np.random.default_rng(2)
+        B = 512
+        P, A, q, l, u = random_qp(rng, 10, 17, batch=B)
+        args = (jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                jnp.asarray(l[0]), jnp.asarray(u[0]))
+        p = LParameters(maximum_iteration=300, rho=0.05, polish=False)
+        sol = admm.admm_solve(*args, p)
+        ref = admm.admm_solve(jnp.asarray(P), jnp.asarray(A), jnp.asarray(q),
+                              jnp.asarray(np.broadcast_to(l[0], l.shape)),
+                              jnp.asarray(np.broadcast_to(u[0], u.shape)), p)
+        assert np.array_equal(np.asarray(sol.x), np.asarray(ref.x))
