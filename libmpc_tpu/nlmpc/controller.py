@@ -366,6 +366,75 @@ class NLMPC:
 
         return solve_one
 
+    def _make_solve_stages(self):
+        """The single-instance solve split into resumable stages so the
+        batched path can compact stragglers: ``z_init`` (warm-start
+        repair), ``begin`` (loop carry at iteration 0), ``chunk`` (run the
+        SQP loop up to a traced iteration bound), ``finish`` (finalize
+        statuses and unwrap sequences).  Chunking partitions the exact
+        per-instance iteration sequence of :meth:`_make_solve_one`."""
+        dims = self.dims
+        fns = self._fns
+        ss, us = self._state_scaling, self._input_scaling
+        params = self._params
+        ineq_tol = self._ineq_tol
+        eq_tol = self._eq_tol
+
+        def make_fns(x0, p):
+            f_fn = lambda zz: nlp.objective(dims, fns, ss, us, zz, x0, p)
+            ceq_parts = [
+                lambda zz: nlp.state_defects(dims, fns, ss, us, zz, x0, p)
+            ]
+            if fns.eq_fn is not None:
+                ceq_parts.append(
+                    lambda zz: nlp.user_eq(dims, fns, ss, us, zz, x0, p)
+                )
+            ceq_fn = lambda zz: jnp.concatenate([part(zz) for part in ceq_parts])
+            cin_fn = (
+                (lambda zz: nlp.user_ineq(dims, fns, ss, us, zz, x0, p))
+                if fns.ineq_fn is not None
+                else None
+            )
+            return f_fn, ceq_fn, cin_fn
+
+        def z_init(z_prev, use_prev, x0, u0, slack0, lb, ub):
+            guess = nlp.initial_guess(dims, x0, u0, slack0, self.dtype)
+            z = jnp.where(use_prev, z_prev, guess)
+            z = nlp.fix_bounds(z, lb, ub)
+            z = nlp.shift_warm_start(dims, z)
+            return z.at[-1].set(slack0)
+
+        def begin(z, x0, p, lb, ub):
+            f_fn, ceq_fn, cin_fn = make_fns(x0, p)
+            return sqp.sqp_solve(
+                f_fn, ceq_fn, cin_fn, z, lb, ub, params,
+                it_hi=jnp.asarray(0, jnp.int32), return_carry=True,
+            )
+
+        def chunk(carry, z, x0, p, lb, ub, budget, hi):
+            f_fn, ceq_fn, cin_fn = make_fns(x0, p)
+            return sqp.sqp_solve(
+                f_fn, ceq_fn, cin_fn, z, lb, ub, params,
+                iter_budget=budget, carry_in=carry, it_hi=hi,
+                return_carry=True,
+            )
+
+        def finish(carry, z, x0, p, lb, ub, budget):
+            f_fn, ceq_fn, cin_fn = make_fns(x0, p)
+            sol = sqp.sqp_solve(
+                f_fn, ceq_fn, cin_fn, z, lb, ub, params,
+                iter_budget=budget, carry_in=carry,
+                it_hi=jnp.asarray(0, jnp.int32),
+            )
+            X, U, slack = nlp.unwrap(dims, sol.z, x0, ss, us)
+            Y = nlp.get_output(dims, fns, X, U, p)
+            feas = nlp.is_feasible(
+                dims, fns, ss, us, sol.z, x0, ineq_tol, eq_tol, p
+            )
+            return sol, X, U, Y, slack, feas
+
+        return z_init, begin, chunk, finish
+
     def _pack_result(self, sol, X, U, Y, feas, prev_cmd):
         """Map raw SQP output to (Result, OptSequence) with the reference's
         failure semantics (NLOptimizer.hpp:613-624): keep the previous
@@ -407,24 +476,107 @@ class NLMPC:
 
     def _build_solve_fn(self):
         solve_one = self._make_solve_one()
+        z_init, begin, chunk, finish = self._make_solve_stages()
+        params = self._params
         p_axis = 0 if self._runtime_params_batched else None
         b_axis = 0 if self._instance_bounds is not None else None
+
+        _CHUNK = 4
+
+        def solve_compacted(z_prev, use_prev, x0, u0, slack0, p, lb, ub,
+                            iter_budget, cap):
+            """Batched solve with straggler compaction: short full-batch
+            chunks until the unconverged count falls to ``cap``, then
+            gather those instances and finish only them (the slowest few
+            no longer drag the whole batch through every SQP iteration —
+            same per-instance iteration sequence either way)."""
+            vz = jax.vmap(z_init, in_axes=(0, None, 0, 0, 0, b_axis, b_axis))
+            vbegin = jax.vmap(begin, in_axes=(0, 0, p_axis, b_axis, b_axis))
+            vchunk = jax.vmap(
+                chunk, in_axes=(0, 0, 0, p_axis, b_axis, b_axis, None, None)
+            )
+            vfinish = jax.vmap(
+                finish, in_axes=(0, 0, 0, p_axis, b_axis, b_axis, None)
+            )
+
+            z = vz(z_prev, use_prev, x0, u0, slack0, lb, ub)
+            carry0 = vbegin(z, x0, p, lb, ub)
+
+            def ocond(st):
+                carry, hi = st
+                return (jnp.sum(carry.status == 0) > cap) & (
+                    hi < params.maximum_iteration
+                )
+
+            def obody(st):
+                carry, hi = st
+                hi2 = hi + _CHUNK
+                return vchunk(carry, z, x0, p, lb, ub, iter_budget, hi2), hi2
+
+            carry, _hi = jax.lax.while_loop(
+                ocond, obody, (carry0, jnp.asarray(0, jnp.int32))
+            )
+
+            def phase2(carry):
+                # at outer exit every active instance beyond the first
+                # `cap` has already exhausted maximum_iteration, so the
+                # top-k gather covers all instances with work left
+                _, idx = jax.lax.top_k(
+                    (carry.status == 0).astype(jnp.float32), cap
+                )
+                take = lambda a: jnp.take(a, idx, axis=0)
+                sub = jax.tree.map(take, carry)
+                z_s, x0_s = take(z), take(x0)
+                p_s = jax.tree.map(take, p) if p_axis == 0 else p
+                lb_s = take(lb) if b_axis == 0 else lb
+                ub_s = take(ub) if b_axis == 0 else ub
+                sub = jax.vmap(
+                    chunk,
+                    in_axes=(0, 0, 0, p_axis, b_axis, b_axis, None, None),
+                )(sub, z_s, x0_s, p_s, lb_s, ub_s, iter_budget,
+                  jnp.asarray(params.maximum_iteration, jnp.int32))
+                put = lambda a, b: a.at[idx].set(b)
+                return jax.tree.map(put, carry, sub)
+
+            need2 = jnp.any(
+                (carry.status == 0) & (carry.it < params.maximum_iteration)
+            )
+            carry = jax.lax.cond(need2, phase2, lambda c: c, carry)
+            return vfinish(carry, z, x0, p, lb, ub, iter_budget)
 
         @jax.jit
         def solve(z_prev, use_prev, x0, u0, slack0, prev_cmd, p, lb, ub,
                   iter_budget):
             batched = x0.ndim == 2
-            fn = (
-                jax.vmap(
-                    solve_one,
-                    in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis, None),
+            B = x0.shape[0] if batched else 0
+            compact = (
+                batched
+                and params.compact_stragglers
+                and B >= 128
+                and params.maximum_iteration > 2 * _CHUNK
+            )
+            if compact:
+                # cap at ~B/4, in whole 128-lane tiles of the fused kernel
+                cap = max(128, (B // 4 // 128) * 128)
+                compact = cap < B
+            if compact:
+                sol, X, U, Y, slack, feas = solve_compacted(
+                    z_prev, use_prev, x0, u0, slack0, p, lb, ub,
+                    iter_budget, cap,
                 )
-                if batched
-                else solve_one
-            )
-            sol, X, U, Y, slack, feas = fn(
-                z_prev, use_prev, x0, u0, slack0, p, lb, ub, iter_budget
-            )
+            else:
+                fn = (
+                    jax.vmap(
+                        solve_one,
+                        in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis,
+                                 None),
+                    )
+                    if batched
+                    else solve_one
+                )
+                sol, X, U, Y, slack, feas = fn(
+                    z_prev, use_prev, x0, u0, slack0, p, lb, ub, iter_budget
+                )
             result, seq = self._pack_result(sol, X, U, Y, feas, prev_cmd)
             return result, seq, sol.z, slack, sol.iters
 

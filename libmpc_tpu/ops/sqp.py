@@ -50,6 +50,35 @@ _MAX_STALL = 6
 _ARMIJO_C1 = 1e-4
 
 
+class Carry(NamedTuple):
+    """SQP loop state — module-scope so resumable chunks (begin / chunk /
+    finish across separate traces) share one pytree type."""
+
+    z: jax.Array
+    lam_e: jax.Array
+    lam_i: jax.Array
+    f: jax.Array
+    mu_e: jax.Array
+    mu_i: jax.Array
+    it: jax.Array
+    status: jax.Array
+    ls_fails: jax.Array
+    viol: jax.Array
+    qp_x: jax.Array  # inner-QP warm start: previous direction
+    qp_y: jax.Array  # inner-QP warm start: previous duals
+    f_best: jax.Array  # stagnation tracking: best objective seen
+    viol_best: jax.Array  # stagnation tracking: best violation seen
+    stall: jax.Array  # iterations without meaningful progress
+    # quasi-Newton state ("bfgs" mode; inert under exact-Hessian modes)
+    Bmat: jax.Array  # (nz, nz) PSD curvature model
+    z_prev: jax.Array  # iterate the stored derivatives belong to
+    g_prev: jax.Array  # objective gradient at z_prev
+    Je_prev: jax.Array  # equality Jacobian at z_prev
+    Ji_prev: jax.Array  # inequality Jacobian at z_prev
+    have_prev: jax.Array  # bool: the *_prev derivatives are valid
+    have_scaled: jax.Array  # bool: Shanno-Phua sizing already applied
+
+
 class SQPSolution(NamedTuple):
     z: jax.Array  # (nz,) final decision vector
     obj: jax.Array  # scalar objective value
@@ -102,7 +131,10 @@ def sqp_solve(
     ub: jax.Array,
     params: NLParameters,
     iter_budget: Optional[jax.Array] = None,
-) -> SQPSolution:
+    carry_in=None,
+    it_hi: Optional[jax.Array] = None,
+    return_carry: bool = False,
+):
     """Solve  min f(z)  s.t.  ceq(z)=0, cin(z)<=0, lb<=z<=ub  from z0.
 
     All callables must be JAX-traceable; x0/refs enter through their
@@ -114,18 +146,29 @@ def sqp_solve(
     NLMPC.hpp via Types.hpp:108-110); instances stopped by it report
     ``NLOPT_MAXTIME_REACHED`` (NLOptimizer.hpp:744-746).
 
+    Resumable execution (used by the controller-level straggler
+    compaction): ``carry_in`` continues a previous partial run instead of
+    initializing from ``z0`` (``z0`` still supplies shapes/closure probes);
+    ``it_hi`` pauses the loop once ``carry.it`` reaches it (a *traced*
+    bound — the iterate is NOT finalized, statuses stay 0 for unconverged
+    instances); ``return_carry=True`` returns the raw loop carry for a
+    later resume instead of an :class:`SQPSolution`.  Chunking the loop
+    this way partitions the exact same per-instance iteration sequence.
+
     Runs at ``highest`` matmul precision — TPU's default bf16 matmul passes
     cannot drive an optimizer to 1e-7 stationarity.
     """
     with jax.default_matmul_precision("highest"):
         return _sqp_solve_hp(
-            f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget
+            f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget,
+            carry_in=carry_in, it_hi=it_hi, return_carry=return_carry,
         )
 
 
 def _sqp_solve_hp(
-    f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget=None
-) -> SQPSolution:
+    f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget=None,
+    carry_in=None, it_hi=None, return_carry=False,
+):
     nz = z0.shape[0]
     dtype = z0.dtype
     me = ceq_fn(z0).shape[0]
@@ -195,33 +238,12 @@ def _sqp_solve_hp(
         ci = cin_fn(z) if cin_fn is not None else jnp.zeros((0,), dtype)
         return f, ce, ci
 
-    class Carry(NamedTuple):
-        z: jax.Array
-        lam_e: jax.Array
-        lam_i: jax.Array
-        f: jax.Array
-        mu_e: jax.Array
-        mu_i: jax.Array
-        it: jax.Array
-        status: jax.Array
-        ls_fails: jax.Array
-        viol: jax.Array
-        qp_x: jax.Array  # inner-QP warm start: previous direction
-        qp_y: jax.Array  # inner-QP warm start: previous duals
-        f_best: jax.Array  # stagnation tracking: best objective seen
-        viol_best: jax.Array  # stagnation tracking: best violation seen
-        stall: jax.Array  # iterations without meaningful progress
-        # quasi-Newton state ("bfgs" mode; inert under exact-Hessian modes)
-        Bmat: jax.Array  # (nz, nz) PSD curvature model
-        z_prev: jax.Array  # iterate the stored derivatives belong to
-        g_prev: jax.Array  # objective gradient at z_prev
-        Je_prev: jax.Array  # equality Jacobian at z_prev
-        Ji_prev: jax.Array  # inequality Jacobian at z_prev
-        have_prev: jax.Array  # bool: the *_prev derivatives are valid
-        have_scaled: jax.Array  # bool: Shanno-Phua sizing already applied
-
-    f0, ce0, ci0 = merit_terms(z0)
-    init = Carry(
+    if carry_in is not None:
+        init = Carry(*carry_in)  # resume a previous partial run
+    else:
+        init = None
+    f0, ce0, ci0 = merit_terms(z0) if init is None else (None, None, None)
+    init = init if init is not None else Carry(
         z=z0,
         lam_e=jnp.zeros((me,), dtype),
         lam_i=jnp.zeros((mi,), dtype),
@@ -653,11 +675,21 @@ def _sqp_solve_hp(
     budget = jnp.asarray(
         admm.NO_BUDGET if iter_budget is None else iter_budget, jnp.int32
     )
+    hi = jnp.asarray(
+        params.maximum_iteration if it_hi is None else it_hi, jnp.int32
+    )
 
     def cond(s: Carry):
-        return (s.status == 0) & (s.it < params.maximum_iteration) & (s.it < budget)
+        return (
+            (s.status == 0)
+            & (s.it < params.maximum_iteration)
+            & (s.it < budget)
+            & (s.it < hi)
+        )
 
     out = jax.lax.while_loop(cond, body, init)
+    if return_carry:
+        return out
     # status still 0 with iterations to spare means the traced budget (the
     # time_limit contract) stopped the loop, not maximum_iteration
     status = jnp.where(

@@ -183,6 +183,14 @@ class NLParameters(Parameters):
     # TPU-native extension (the reference has verbose only on LParameters):
     # prints a per-solve SQP iteration summary, mirroring LMPC's behavior
     verbose: bool = False
+    # batched-solve straggler compaction (TPU-native extension): run the
+    # SQP loop in short full-batch chunks until the unconverged count
+    # falls to ~1/4 of the batch, then gather those instances and finish
+    # only them.  The per-instance iteration sequence is preserved
+    # exactly (chunking partitions the same loop); results can differ at
+    # rounding level only through the fused inner-QP kernel's lane-tile
+    # membership.  Applies to batched solves with batch >= 128.
+    compact_stragglers: bool = True
 
 
 @jax.tree_util.register_dataclass

@@ -480,3 +480,46 @@ class TestLazyStatsMode:
         c = make_vdp_controller()
         with pytest.raises(ValueError):
             c.set_stats_mode("bogus")
+
+
+class TestSQPStragglerCompaction:
+    """Batched solves chunk the SQP loop and gather the unconverged tail
+    once most instances finish (NLParameters.compact_stragglers).
+    Chunking partitions the exact per-instance iteration sequence, so with
+    a per-instance inner engine the results are bitwise identical; the
+    fused lane-tiled engine's results depend on tile membership (a
+    pre-existing property of batch composition) and agree to solver
+    tolerance."""
+
+    def _make(self, compact, inner):
+        c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=jnp.float32)
+        c.set_discretization_sampling_time(0.1)
+        c.set_optimizer_parameters(NLParameters(
+            maximum_iteration=15, enable_warm_start=True,
+            inner_qp=inner, hessian_reg="gershgorin",
+            compact_stragglers=compact))
+        c.set_state_space_function(vdp_continuous)
+        c.set_objective_function(
+            lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+        c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+        return c
+
+    def _cmds(self, compact, inner, B=128):
+        rng = np.random.default_rng(0)
+        x0 = np.asarray(rng.uniform(-1, 1, size=(B, 2)), np.float32)
+        c = self._make(compact, inner)
+        res = c.optimize(x0, np.zeros((B, 1), np.float32))
+        res = c.optimize(x0, res.cmd)
+        return np.asarray(res.cmd), np.asarray(res.status)
+
+    def test_bitwise_with_per_instance_engine(self):
+        on, s_on = self._cmds(True, "admm")
+        off, s_off = self._cmds(False, "admm")
+        assert np.array_equal(s_on, s_off)
+        assert np.array_equal(on, off)
+
+    def test_tolerance_with_fused_engine(self):
+        on, s_on = self._cmds(True, "fused")
+        off, s_off = self._cmds(False, "fused")
+        assert float(np.mean(s_on == 0)) == float(np.mean(s_off == 0)) == 1.0
+        assert np.allclose(on, off, atol=2e-3)
