@@ -175,27 +175,37 @@ def _nlmpc_bench(B: int = 1024):
     def vdp(x, u, k):
         return jnp.stack([(1.0 - x[1] * x[1]) * x[0] - x[1] + u[0], x[0]])
 
-    c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=jnp.float32)
-    c.set_discretization_sampling_time(0.1)
+    import dataclasses as _dc
+
     # production f32 configuration: fused Pallas inner-QP kernel (one
     # kernel launch per SQP iteration for the whole batch) + factorization-
     # free Gershgorin Hessian convexification (batched eigh costs ~50 ms at
     # this size on TPU; the cheap shift more than pays for its extra SQP
-    # iterations)
-    c.set_optimizer_parameters(
-        NLParameters(maximum_iteration=30, enable_warm_start=True,
-                     inner_qp="fused", hessian_reg="gershgorin")
-    )
-    c.set_state_space_function(vdp)
-    c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
-    c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
-
-    c.set_stats_mode("lazy")  # pipelined steady state: no per-solve sync
+    # iterations).  SQP straggler compaction is new this round: fall back
+    # to the plain lockstep batch if its program fails on the device.
+    base = NLParameters(maximum_iteration=30, enable_warm_start=True,
+                        inner_qp="fused", hessian_reg="gershgorin")
     rng = np.random.default_rng(0)
     x0 = np.asarray(rng.uniform(-1, 1, size=(B, 2)), np.float32)
-    res = c.optimize(x0, np.zeros((B, 1), np.float32))
-    res = c.optimize(x0, res.cmd)
-    jax.block_until_ready(res.cmd)
+    for params in (base, _dc.replace(base, compact_stragglers=False)):
+        c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=jnp.float32)
+        c.set_discretization_sampling_time(0.1)
+        c.set_optimizer_parameters(params)
+        c.set_state_space_function(vdp)
+        c.set_objective_function(
+            lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+        c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+        c.set_stats_mode("lazy")  # pipelined steady state: no per-solve sync
+        try:
+            res = c.optimize(x0, np.zeros((B, 1), np.float32))
+            res = c.optimize(x0, res.cmd)
+            jax.block_until_ready(res.cmd)
+            break
+        except Exception as exc:  # pragma: no cover - hardware-specific
+            if not params.compact_stragglers:
+                raise
+            print(f"# nlmpc compaction path failed on this device, falling "
+                  f"back: {type(exc).__name__}", file=sys.stderr)
     reps = 6
     t0 = time.perf_counter()
     for _ in range(reps):
