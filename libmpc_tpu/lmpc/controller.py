@@ -139,6 +139,8 @@ def _solve_body_hp(
     )
 
     use_warm = params.enable_warm_start
+    if use_warm and params.warm_start_shift:
+        warm_x, warm_y = qp.shift_warm_start(dims, warm_x, warm_y)
     sol = admm.admm_solve(
         P,
         A,

@@ -142,6 +142,14 @@ class LParameters(Parameters):
     # a small batch and iterate only that (identical per-row math and
     # check cadence; single-chip batched path, batch >= 256)
     compact_stragglers: bool = True
+    # advance the warm start one stage along the horizon before each solve
+    # (receding-horizon realignment; lmpc/problem.py::shift_warm_start).
+    # The reference reuses the previous solution unshifted
+    # (LOptimizer.hpp:372) — default off for parity.  On closed loops the
+    # shift halves the p99 iteration count, compressing the lockstep tail;
+    # leave it off when consecutive solves share the same state (e.g.
+    # re-solving an unchanged problem), where the unshifted start is exact.
+    warm_start_shift: bool = False
     sigma: float = 1e-6
     scaling_iters: int = 10
     # fuse iteration blocks into a VMEM-resident Pallas kernel on TPU
