@@ -288,8 +288,66 @@ def section_compaction():
               f"(success {srate:.3f})", flush=True)
 
 
+def section_warm_shift(B=16384, K=8):
+    """Closed-loop A/B for LParameters.warm_start_shift: realigning the
+    warm start with the receding horizon compresses the lockstep iteration
+    tail (CPU f64 30-step loop: 775 vs 825 total iteration blocks; the
+    batch-level p99 effect is what a TPU lockstep batch actually pays)."""
+    from __graft_entry__ import _quadrotor_setup
+    from libmpc_tpu import LParameters
+    from libmpc_tpu.lmpc.controller import build_prepared, solve_body
+    from tests.test_lmpc import quadrotor_model
+
+    dtype = jnp.float32
+    Ad_np, Bd_np, _ = quadrotor_model()
+    Ad = jnp.asarray(Ad_np, dtype)
+    Bd = jnp.asarray(Bd_np, dtype)
+    for shift in (False, True):
+        c = _quadrotor_setup(dtype)
+        params = LParameters(maximum_iteration=100, enable_warm_start=True,
+                             polish=True, polish_mode="shared", rho=0.01,
+                             warm_start_shift=shift)
+        c.set_optimizer_parameters(params)
+        dims, prob = c.dims, c._prob
+        built = build_prepared(dims, params, prob,
+                               c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+
+        @jax.jit
+        def run(x0, u0, warm_x, warm_y):
+            def step(carry, _):
+                x, u, wx, wy = carry
+                result, seq, sx, sy, iters = solve_body(
+                    dims, params, prob, x, u,
+                    c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+                    wx, wy, jnp.asarray(True), jnp.zeros_like(u),
+                    built=built)
+                xn = x @ Ad.T + result.cmd @ Bd.T
+                return (xn, result.cmd, sx, sy), iters
+
+            return jax.lax.scan(step, (x0, u0, warm_x, warm_y), None,
+                                length=K)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+        u = jnp.zeros((B, 4), dtype)
+        wx = jnp.zeros((B, dims.nz), dtype)
+        wy = jnp.zeros((B, dims.m), dtype)
+        (x, u, wx, wy), its = run(x, u, wx, wy)
+        jax.block_until_ready(u)
+        reps = 4
+        t0 = time.perf_counter()
+        for _ in range(reps):  # keep rolling the same closed loop
+            (x, u, wx, wy), its = run(x, u, wx, wy)
+        jax.block_until_ready(u)
+        dt = time.perf_counter() - t0
+        print(f"warm_start_shift={str(shift):5s}: "
+              f"{B * K * reps / dt:9.1f} solves/s "
+              f"(iters {float(jnp.mean(its)):.1f})", flush=True)
+
+
 SECTIONS = {
     "compaction": section_compaction,
+    "warm_shift": section_warm_shift,
     "polish_cap": section_polish_cap,
     "max_iter": section_max_iter,
     "nlmpc_batch": section_nlmpc_batch,
