@@ -27,8 +27,40 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_BACKEND_NOTE = None
+
+
+def _guard_against_hung_backend(timeout_s: int = 300) -> None:
+    """Fall back to CPU if the default backend cannot even enumerate devices.
+
+    Over the axon tunnel a dead relay makes the FIRST device operation hang
+    forever (not error), which would leave the whole bench recording
+    nothing.  Probe `jax.devices()` in a subprocess under a timeout — a
+    healthy tunnel answers in seconds — and only if the probe *hangs* force
+    this process onto CPU (`jax.config.update`), recording the fallback in
+    the output JSON.  Skipped when LIBMPC_PLATFORM pins a platform.
+    """
+    global _BACKEND_NOTE
+    if os.environ.get("LIBMPC_PLATFORM") or os.environ.get("LIBMPC_SKIP_PROBE"):
+        return
+    timeout_s = int(os.environ.get("LIBMPC_PROBE_TIMEOUT", timeout_s))
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        # completed (even with an error): the backend resolves promptly and
+        # whatever it resolves to is what the bench should use
+    except subprocess.TimeoutExpired:
+        jax.config.update("jax_platforms", "cpu")
+        _BACKEND_NOTE = f"default backend unresponsive after {timeout_s}s; fell back to cpu"
+        print(f"# {_BACKEND_NOTE}", file=sys.stderr)
+
 
 def main():
+    _guard_against_hung_backend()
     from __graft_entry__ import _quadrotor_setup
     from libmpc_tpu import LParameters
     from libmpc_tpu.lmpc.controller import build_prepared, solve_body
@@ -163,6 +195,8 @@ def main():
         "nlmpc_success_frac": nlmpc_success,
         "device": str(jax.devices()[0]),
     }
+    if _BACKEND_NOTE:
+        out["backend_note"] = _BACKEND_NOTE
     print(json.dumps(out))
 
 
