@@ -207,7 +207,7 @@ def main():
     print(json.dumps(out))
 
 
-def _nlmpc_bench(B: int = 1024):
+def _nlmpc_bench(B: int = 4096):
     """Secondary metric: batched Van der Pol NLMPC solves/s (full SQP with
     exact autodiff derivatives, warm-started steady state)."""
     import jax.numpy as jnp
