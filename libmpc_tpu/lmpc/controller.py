@@ -639,11 +639,16 @@ class LMPC:
             else jnp.zeros(batch + (self.dims.m,), self.dtype)
         )
 
+        self._ensure_built()
+
         # DETAIL-level dump of the generated problem, mirroring the
-        # reference's per-solve matrix logging (LOptimizer.hpp:201-211)
+        # reference's per-solve matrix logging (LOptimizer.hpp:201-211).
+        # P/A/bounds come straight from the time-invariant cache — the dump
+        # adds only the cheap time-varying q/l/u build, not a second full
+        # assembly (SURVEY §3.2).
         log = Logger.instance()
         if log.level == LogLevel.DEEP:
-            P, A, lineq, uineq = qp.build_time_invariant(self.dims, self._prob)
+            P, A, lineq, uineq, _prep = self._built
             qv, lv, uv = qp.build_time_varying(
                 self.dims, self._prob, lineq, uineq, x0, last_u,
                 self._y_ref, self._u_ref, self._du_ref, self._u_meas,
@@ -657,8 +662,6 @@ class LMPC:
             self._budgeter.reset()
             self._budget_key = batch
         iter_budget = self._budgeter.budget(self._params.time_limit)
-
-        self._ensure_built()
 
         self._profiler.solution_start()
         t0 = _time.monotonic()

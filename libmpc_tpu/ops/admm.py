@@ -61,6 +61,11 @@ RHO_MAX = 1e6
 RHO_EQ_OVER_RHO_INEQ = 1e3
 ADAPTIVE_RHO_TOLERANCE = 5.0
 INF_BOUND = 1e30  # OSQP's OSQP_INFTY cut-off for "infinite" bounds
+# relaxation factor of the final approximate termination check: a
+# max-iteration exit re-tests the last iterate with every tolerance
+# multiplied by this and reports the *_INACCURATE statuses when only the
+# relaxed test passes (reference: include/mpc/LMPC/LOptimizer.hpp:398-403)
+INACCURATE_TOL_FACTOR = 100.0
 
 
 class QPSolution(NamedTuple):
@@ -331,6 +336,11 @@ class _LoopState(NamedTuple):
     status: jax.Array
     pri_res: jax.Array
     dua_res: jax.Array
+    inacc_status: jax.Array  # status a max-iter exit would report: OSQP's
+    # final check_termination(approximate) with 100x-relaxed tolerances,
+    # refreshed at every periodic check for still-active instances
+    # (OSQP osqp_solve: on max_iter the last iterate is re-checked with
+    # relaxed tolerances to emit *_INACCURATE statuses)
     rho: jax.Array  # scalar, shared across batch
     M: jax.Array
     Minv: jax.Array
@@ -384,6 +394,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         status=jnp.full((B,), OSQP_UNSOLVED, jnp.int32),
         pri_res=jnp.full((B,), jnp.inf, dtype),
         dua_res=jnp.full((B,), jnp.inf, dtype),
+        inacc_status=jnp.full((B,), OSQP_MAX_ITER_REACHED, jnp.int32),
         rho=rho_init,
         M=M0,
         Minv=Minv0,
@@ -474,32 +485,71 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         Pdx = _inf_norm((dx / d[None, :]) @ P / d[None, :]) / c
         qdx = jnp.sum(qs / d[None, :] * dx, axis=-1) / c
         Adx = (dx / d[None, :]) @ A.T / e[None, :]
-        eps_d = params.eps_dual_inf * norm_dx
         u_inf = u_unscaled >= INF_BOUND
         l_inf = l_unscaled <= -INF_BOUND
-        cone_ok = _pall_rows(
-            jnp.all(
-                jnp.where(
-                    u_inf & l_inf,
-                    True,
+
+        def cone_recession(eps_d):
+            return _pall_rows(
+                jnp.all(
                     jnp.where(
-                        u_inf,
-                        Adx >= -eps_d[:, None],
-                        jnp.where(l_inf, Adx <= eps_d[:, None], jnp.abs(Adx) <= eps_d[:, None]),
+                        u_inf & l_inf,
+                        True,
+                        jnp.where(
+                            u_inf,
+                            Adx >= -eps_d[:, None],
+                            jnp.where(l_inf, Adx <= eps_d[:, None], jnp.abs(Adx) <= eps_d[:, None]),
+                        ),
                     ),
+                    axis=-1,
                 ),
-                axis=-1,
+                axis_rows,
+            )
+
+        def is_dual_infeasible(eps_dual_inf):
+            # OSQP auxil.c is_dual_infeasible: ||dx|| > eps, q'dx strictly
+            # negative, P dx ~ 0, and A dx in the recession cone
+            eps_d = eps_dual_inf * norm_dx
+            return (
+                (norm_dx > eps_dual_inf)
+                & (Pdx < eps_d)
+                & (qdx < -eps_d)
+                & cone_recession(eps_d)
+            )
+
+        dual_inf = is_dual_infeasible(params.eps_dual_inf)
+
+        # -- relaxed re-check: the status a max-iteration exit reports -----
+        # OSQP's osqp_solve re-runs check_termination(approximate) on the
+        # final iterate with every tolerance relaxed 100x and reports
+        # OSQP_SOLVED_INACCURATE / OSQP_{PRIMAL,DUAL}_INFEASIBLE_INACCURATE
+        # when only the relaxed test passes (the reference maps all three,
+        # include/mpc/LMPC/LOptimizer.hpp:398-403).  The relaxed solved test
+        # keeps the full relative form (100*eps_abs + 100*eps_rel*||.||), not
+        # an absolute cut-off.  Refreshing the verdict at every periodic
+        # check for still-active instances makes the value at loop exit the
+        # final-iterate verdict OSQP computes.
+        fac = INACCURATE_TOL_FACTOR
+        solved_inacc = (pri <= fac * eps_pri) & (dua <= fac * eps_dua)
+        eps_p_i = fac * params.eps_prim_inf * norm_dy
+        prim_inf_inacc = (
+            (norm_dy > fac * params.eps_prim_inf)
+            & (sup < -eps_p_i)
+            & (Atdy < eps_p_i)
+        )
+        dual_inf_inacc = is_dual_infeasible(fac * params.eps_dual_inf)
+        inacc = jnp.where(
+            solved_inacc,
+            OSQP_SOLVED_INACCURATE,
+            jnp.where(
+                prim_inf_inacc,
+                OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+                jnp.where(
+                    dual_inf_inacc,
+                    OSQP_DUAL_INFEASIBLE_INACCURATE,
+                    OSQP_MAX_ITER_REACHED,
+                ),
             ),
-            axis_rows,
-        )
-        # OSQP auxil.c is_dual_infeasible: ||dx|| > eps, q'dx strictly
-        # negative, P dx ~ 0, and A dx in the recession cone
-        dual_inf = (
-            (norm_dx > params.eps_dual_inf)
-            & (Pdx < eps_d)
-            & (qdx < -eps_d)
-            & cone_ok
-        )
+        ).astype(jnp.int32)
 
         newly = ~state.done
         status = jnp.where(
@@ -567,6 +617,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             status=status,
             pri_res=jnp.where(newly, pri, state.pri_res),
             dua_res=jnp.where(newly, dua, state.dua_res),
+            inacc_status=jnp.where(newly, inacc, state.inacc_status),
             rho=rho_new,
             M=M_new,
             Minv=Minv_new,
@@ -666,6 +717,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 iters=take(state.iters), done=take(state.done),
                 status=take(state.status), pri_res=take(state.pri_res),
                 dua_res=take(state.dua_res),
+                inacc_status=take(state.inacc_status),
             )
             qs_c, ls_c, us_c = take(qs), take(ls), take(us)
 
@@ -685,6 +737,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 status=put(state.status, sub.status),
                 pri_res=put(state.pri_res, sub.pri_res),
                 dua_res=put(state.dua_res, sub.dua_res),
+                inacc_status=put(state.inacc_status, sub.inacc_status),
                 rho=sub.rho, M=sub.M, Minv=sub.Minv, stop=sub.stop,
             )
             return state, k2
@@ -697,15 +750,12 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
     # from an ordinary max-iteration exhaustion, like OSQP's
     # exceeds_max_time check in its iteration loop
     budget_hit = (k_fin < n_blocks) & (k_fin * check_every >= budget)
+    # a max-iteration exit reports the relaxed-tolerance verdict from the
+    # final termination check: SOLVED_INACCURATE or the infeasibility
+    # INACCURATE certificates (OSQP's check_termination(approximate) on the
+    # last iterate; the relative forms live in termination_check above)
     max_iter_status = jnp.where(
-        budget_hit,
-        OSQP_TIME_LIMIT_REACHED,
-        jnp.where(
-            (state.pri_res <= 100.0 * (params.eps_abs + params.eps_rel))
-            & (state.dua_res <= 100.0 * (params.eps_abs + params.eps_rel)),
-            OSQP_SOLVED_INACCURATE,
-            OSQP_MAX_ITER_REACHED,
-        ),
+        budget_hit, OSQP_TIME_LIMIT_REACHED, state.inacc_status
     )
     status = jnp.where(state.status == OSQP_UNSOLVED, max_iter_status, state.status)
     return state._replace(status=status)

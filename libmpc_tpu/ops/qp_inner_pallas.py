@@ -39,6 +39,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_B = 128
 INF_BOUND = 1e18
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024  # of the ~16MB/core (see admm_pallas)
+
+
+def _tile_bytes(n: int, m: int) -> int:
+    """Estimated VMEM footprint of one TILE_B-lane grid step (float32).
+
+    Inputs (P, A, q, l, u, rho, x0, y0, dinv, einv, cinv) and outputs
+    (x, y, z, meta) are double-buffered by the pipeline; scratch (M, Minv, L
+    at (n, n, TILE_B) plus the x/z/y/done/rho vectors) is allocated once.
+    """
+    words_in = n * n + m * n + 3 * n + 5 * m + 1
+    words_out = n + 2 * m + 4
+    words_scratch = 3 * n * n + n + 3 * m + 1
+    return 4 * TILE_B * (2 * (words_in + words_out) + words_scratch)
+
+
+def supported(n: int, m: int) -> bool:
+    """Whether the fused kernel fits this (n, m) subproblem in VMEM.
+
+    The dominant term is the 3x (n, n, TILE_B) factorization scratch —
+    quadratic in the decision size.  Callers (ops/sqp.py) must fall back to
+    an XLA engine when this returns False: a too-large kernel fails at
+    Mosaic lowering on real hardware, which a user-facing solve must never
+    do.  Mirrors ops/admm_pallas.supported() for the LMPC kernel.
+    """
+    return _tile_bytes(n, m) < _VMEM_BUDGET_BYTES
 
 
 def _kernel(

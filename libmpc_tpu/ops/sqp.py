@@ -87,6 +87,18 @@ class SQPSolution(NamedTuple):
     kkt_res: jax.Array  # final constraint violation (inf-norm)
 
 
+def _gershgorin_convexify(H, nz: int, dtype):
+    """PSD shift by a Gershgorin bound: tau >= -lambda_min guarantees
+    positive semidefiniteness without an eigendecomposition; more
+    conservative than eigenvalue clipping when H is indefinite."""
+    diag = jnp.diagonal(H)
+    radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+    gersh_lo = jnp.min(diag - radius)
+    scale = jnp.max(diag + radius)
+    tau = jnp.maximum(-gersh_lo, 0.0) + jnp.maximum(1e-6 * scale, 1e-8)
+    return H + tau * jnp.eye(nz, dtype=dtype)
+
+
 def _qp_params(f32: bool = False) -> LParameters:
     """Inner-QP settings: tight tolerances, polish for exact active sets.
     float32 runs get reachable tolerances (1e-9 is below the f32 noise
@@ -180,7 +192,8 @@ def _sqp_solve_hp(
     jac_in = jax.jacfwd(cin_fn) if cin_fn is not None else None
 
     use_bfgs = params.hessian_reg == "bfgs"
-    if use_bfgs:
+    use_gn = params.hessian_reg == "gauss_newton"
+    if use_bfgs or use_gn:
         hess_L = None
     else:
         def lagrangian(z, lam_e, lam_i):
@@ -196,9 +209,19 @@ def _sqp_solve_hp(
     # (interpreted on CPU test meshes); an f64 solve — or a non-TPU
     # accelerator backend — asking for it gets the accurate interior-point
     # engine instead (an f32 inner direction cannot drive the outer loop
-    # to 1e-7 stationarity, and the kernel does not lower on GPU)
+    # to 1e-7 stationarity, and the kernel does not lower on GPU).
+    # Size gate: the kernel's (nz, nz, 128) factorization scratch is
+    # quadratic in the decision size — past the VMEM budget (nz ~ 150+) the
+    # kernel cannot lower on TPU, so large problems degrade to the
+    # interior-point engine automatically instead of failing (the gate is
+    # applied on every backend so engine selection is deterministic).
     backend_ok = jax.default_backend() in ("tpu", "cpu")
-    use_fused = params.inner_qp == "fused" and f32 and backend_ok
+    use_fused = (
+        params.inner_qp == "fused"
+        and f32
+        and backend_ok
+        and qp_inner_pallas.supported(nz, m_qp)
+    )
     use_pdip = params.inner_qp == "pdip" or (
         params.inner_qp == "fused" and not use_fused
     )
@@ -268,6 +291,26 @@ def _sqp_solve_hp(
         have_scaled=jnp.asarray(False),
     )
 
+    if use_gn:
+        # Gauss-Newton curvature: the OBJECTIVE Hessian only, constraint
+        # curvature dropped — the classic real-time-iteration model for MPC,
+        # where the tracking cost is quadratic in the trajectory and the
+        # model nonlinearity lives entirely in the defect constraints
+        # (reference formulation: include/mpc/NLMPC/Objective.hpp:91-101 +
+        # Constraints.hpp:490-628).  For quadratic costs this matrix is
+        # CONSTANT, so it is evaluated once per solve at the entry iterate
+        # and reused by every SQP iteration: per-iteration cost drops from
+        # the dense O(nz^2)-autodiff Lagrangian Hessian + O(nz^3) eigh to
+        # Jacobians + the QP alone — the scaling mode for large problems
+        # (e.g. networked oscillators, nz=301).  For non-quadratic costs it
+        # is a fixed Gauss-Newton-style model anchored at the entry point;
+        # the l1-merit line search keeps the outer loop globalized either
+        # way.  Anchored at ``z0`` (not the resume carry) so chunked
+        # execution (begin/chunk/finish share one z0) reuses the identical
+        # curvature and preserves the per-instance iteration sequence.
+        Hf = jax.hessian(f_fn)(z0)
+        B_gn = _gershgorin_convexify(0.5 * (Hf + Hf.T), nz, dtype)
+
     def body(s: Carry) -> Carry:
         f, g = grad_f(s.z)
         ce = ceq_fn(s.z)
@@ -331,20 +374,14 @@ def _sqp_solve_hp(
                 + jnp.outer(yd, yd) / jnp.where(syd == 0.0, 1.0, syd)
             )
             B = jnp.where(ok_upd, B_upd, s.Bmat)
+        elif use_gn:
+            B = B_gn  # constant objective-curvature model (see above)
         else:
             # -- convexified exact Hessian ----------------------------------
             H = hess_L(s.z, s.lam_e, s.lam_i)
             H = 0.5 * (H + H.T)
             if params.hessian_reg == "gershgorin":
-                # shift by a Gershgorin bound: tau >= -lambda_min guarantees
-                # PSD without an eigendecomposition; more conservative when H
-                # is indefinite
-                diag = jnp.diagonal(H)
-                radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
-                gersh_lo = jnp.min(diag - radius)
-                scale = jnp.max(diag + radius)
-                tau = jnp.maximum(-gersh_lo, 0.0) + jnp.maximum(1e-6 * scale, 1e-8)
-                B = H + tau * jnp.eye(nz, dtype=dtype)
+                B = _gershgorin_convexify(H, nz, dtype)
             elif params.hessian_reg == "power":
                 # shift by a *tight* estimate of -lambda_min obtained with
                 # two short power iterations (pure batched matvecs — ideal

@@ -20,6 +20,7 @@ statistics (adaptive-rho estimate, Ruiz cost scaling, loop exit) reduce over
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -29,6 +30,60 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..types import LParameters
 from . import mesh as mesh_lib
 from ..ops import admm
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_solve_fn(mesh: Mesh, params: LParameters, have_warm: bool):
+    """Build (once per mesh/params/warm-mode) the jitted shard_map solver.
+
+    Hoisting the shard_map + jit out of :func:`solve_sharded` means repeated
+    calls with the same configuration reuse ONE compiled program instead of
+    rebuilding (and retracing) a fresh closure per invocation — jit keeps
+    its own per-shape cache on the returned callable, so only genuinely new
+    shapes compile.  ``Mesh`` and ``LParameters`` are both hashable.
+    """
+    data, model = mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS
+    axis_batch = data if mesh.shape[data] > 1 else None
+
+    def body(P_mat, A_loc, q_loc, l_loc, u_loc, eq_loc, wx, wy):
+        sol = admm.admm_solve(
+            P_mat, A_loc, q_loc, l_loc, u_loc, params,
+            warm_x=wx if have_warm else None,
+            warm_y=wy if have_warm else None,
+            eq_mask=eq_loc,
+            axis_rows=model,
+            axis_batch=axis_batch,
+        )
+        # obj uses the replicated x and the full q (local q is already the
+        # full x-space row, only constraint rows shard) — nothing to reduce
+        return sol
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(),  # P replicated
+            P(model, None),  # A rows sharded
+            P(data, None),  # q batch sharded
+            P(data, model),  # l
+            P(data, model),  # u
+            P(model),  # eq mask rows
+            P(data, None),  # warm x
+            P(data, model),  # warm y
+        ),
+        out_specs=admm.QPSolution(
+            x=P(data, None),
+            y=P(data, model),
+            z=P(data, model),
+            status=P(data),
+            iters=P(data),
+            obj_val=P(data),
+            pri_res=P(data),
+            dua_res=P(data),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 class ShardedQPSolution(NamedTuple):
@@ -100,48 +155,9 @@ def solve_sharded(
         __import__("dataclasses").replace(params, enable_warm_start=True)
     )
 
-    data, model = mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS
-    axis_batch = data if n_data > 1 else None
-
-    def body(P_mat, A_loc, q_loc, l_loc, u_loc, eq_loc, wx, wy):
-        sol = admm.admm_solve(
-            P_mat, A_loc, q_loc, l_loc, u_loc, use_params,
-            warm_x=wx if have_warm else None,
-            warm_y=wy if have_warm else None,
-            eq_mask=eq_loc,
-            axis_rows=model,
-            axis_batch=axis_batch,
-        )
-        # obj uses the replicated x and the full q (local q is already the
-        # full x-space row, only constraint rows shard) — nothing to reduce
-        return sol
-
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            P(),  # P replicated
-            P(model, None),  # A rows sharded
-            P(data, None),  # q batch sharded
-            P(data, model),  # l
-            P(data, model),  # u
-            P(model),  # eq mask rows
-            P(data, None),  # warm x
-            P(data, model),  # warm y
-        ),
-        out_specs=admm.QPSolution(
-            x=P(data, None),
-            y=P(data, model),
-            z=P(data, model),
-            status=P(data),
-            iters=P(data),
-            obj_val=P(data),
-            pri_res=P(data),
-            dua_res=P(data),
-        ),
-        check_vma=False,
+    sol = _sharded_solve_fn(mesh, use_params, have_warm)(
+        P_mat, A, q, l, u, eq_mask, warm_x, warm_y
     )
-    sol = jax.jit(sharded)(P_mat, A, q, l, u, eq_mask, warm_x, warm_y)
     return ShardedQPSolution(
         x=sol.x,
         y=sol.y[:, :m],

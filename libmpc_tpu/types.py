@@ -123,7 +123,15 @@ class LParameters(Parameters):
     # (OSQP-like, ~5x a whole solve at large batch, used automatically on
     # the row-sharded path)
     polish_mode: str = "shared"
-    polish_active_cap: int = 40
+    # Woodbury correction width of the shared polish: instances with more
+    # active inequality rows than this fall back to the ADMM iterate for
+    # the overflow rows.  24 measured accuracy-IDENTICAL to 40 on the full
+    # randomized quadrotor bench batch (misc/batch_accuracy.py: cold/warm
+    # max errors equal to 3 digits — active sets fit within 24) while the
+    # hardware sweep put cap 24 at +24% throughput over cap 40 (246k vs
+    # 187k solves/s, misc/results/SWEEP_TPU_r2_batch2.txt).  Raise it for
+    # problem families with wider active sets.
+    polish_active_cap: int = 24
     # float32 shared-polish refinement budget: number of incremental
     # residual-update passes run after the compensated anchor (each pass
     # contracts the residual ~0.7x below the float32 matvec floor; the
@@ -163,14 +171,27 @@ class NLParameters(Parameters):
     """SQP parameters (reference: include/mpc/Types.hpp:121-140).
 
     ``hessian_reg`` (TPU-native extension) selects the curvature model of
-    the QP subproblem: ``"eigh"`` (default) uses the exact Lagrangian
-    Hessian with eigenvalue clipping — the tightest model, fewest SQP
-    iterations, and batched eigh is cheap on TPU (measured ~0.08 ms for
-    1024x26x26); ``"bfgs"`` maintains a damped-BFGS quasi-Newton matrix
-    (the family SLSQP itself uses — algorithm-parity mode, ~2-3x more
-    iterations); ``"gershgorin"``/``"power"`` use the exact Hessian shifted
-    by a Gershgorin bound / a power-iteration estimate of ``-lambda_min``
-    (no factorization at all, more conservative steps).
+    the QP subproblem:
+
+    * ``"gershgorin"`` (default): exact Lagrangian Hessian shifted by a
+      Gershgorin bound — no factorization at all.  Default because the
+      hardware sweep measured it 2.6x faster than ``"eigh"`` at identical
+      100% success on the production batch (45.2k vs 17.2k solves/s,
+      misc/results/SWEEP_TPU_r2_batch2.txt) — the batched eigh is the
+      single most expensive per-iteration op at large batch and its
+      tighter steps do not pay for themselves on the shipped examples.
+    * ``"eigh"``: exact Lagrangian Hessian with eigenvalue clipping — the
+      tightest convex model and fewest SQP iterations; worth selecting for
+      hard nonconvex instances where step quality dominates wall time.
+    * ``"bfgs"``: damped-BFGS quasi-Newton matrix (the family SLSQP itself
+      uses — algorithm-parity mode, ~2-3x more iterations, no Hessian).
+    * ``"power"``: exact Hessian shifted by a power-iteration estimate of
+      ``-lambda_min`` (pure matvecs, tighter than Gershgorin).
+    * ``"gauss_newton"``: objective-Hessian-only model, evaluated ONCE per
+      solve and reused by every iteration (exact for quadratic tracking
+      costs; constraint curvature dropped).  The scaling mode for large
+      problems — per-iteration cost stops paying the dense O(nz^2)
+      Lagrangian Hessian + O(nz^3) eigh entirely.
     """
 
     relative_ftol: float = -1.0
@@ -178,7 +199,7 @@ class NLParameters(Parameters):
     absolute_ftol: float = -1.0
     absolute_xtol: float = -1.0
     hard_constraints: bool = True
-    hessian_reg: str = "eigh"
+    hessian_reg: str = "gershgorin"
     # inner QP engine (TPU-native extension): "fused" (default) runs the
     # whole batch of float32 subproblems in ONE Pallas kernel per SQP
     # iteration (ops/qp_inner_pallas.py: in-VMEM Cholesky + ADMM loop,
@@ -198,7 +219,11 @@ class NLParameters(Parameters):
     # exactly (chunking partitions the same loop); results can differ at
     # rounding level only through the fused inner-QP kernel's lane-tile
     # membership.  Applies to batched solves with batch >= 128.
-    compact_stragglers: bool = True
+    # Default OFF: the hardware A/B at the production bench size measured
+    # it neutral-to-slightly-negative (44.4k vs 45.3k solves/s,
+    # misc/results/SWEEP_TPU_r2_batch2.txt) — worth enabling only when
+    # per-instance NLPs are large enough that the straggler tail dominates.
+    compact_stragglers: bool = False
 
 
 @jax.tree_util.register_dataclass

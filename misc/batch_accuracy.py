@@ -29,7 +29,6 @@ if os.environ.get("LIBMPC_PLATFORM"):
 
     _jax.config.update("jax_platforms", os.environ["LIBMPC_PLATFORM"])
 
-import dataclasses
 import functools
 
 import numpy as np
@@ -66,7 +65,9 @@ def _two_steps(params, dtype):
         )
         return result.cmd, sol_x, sol_y
 
-    rng = np.random.default_rng(0)  # bench.py's batch
+    rng = np.random.default_rng(0)  # same seed/distribution as bench.py
+    # (the first B rows of its batch; bench.py runs B=16384, this harness
+    # defaults to B=2048 via LIBMPC_ACC_BATCH)
     x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
     u = jnp.zeros((B, 4), dtype)
     wx = jnp.zeros((B, dims.nz), dtype)

@@ -312,3 +312,110 @@ class TestStragglerCompaction:
                               jnp.asarray(np.broadcast_to(l[0], l.shape)),
                               jnp.asarray(np.broadcast_to(u[0], u.shape)), p)
         assert np.array_equal(np.asarray(sol.x), np.asarray(ref.x))
+
+
+class TestMaxIterInaccurateStatuses:
+    """A max-iteration exit re-checks the final iterate with 100x-relaxed
+    tolerances and reports OSQP's *_INACCURATE statuses — the one corner of
+    the OSQP status surface the reference maps
+    (include/mpc/LMPC/LOptimizer.hpp:398-403) that needs a deliberately
+    starved solve to reach."""
+
+    def _base(self, **kw):
+        return LParameters(
+            polish=False, check_termination=1, use_pallas=False,
+            compact_stragglers=False, eps_abs=1e-12, eps_rel=1e-12, **kw)
+
+    def test_solved_inaccurate_uses_relative_criterion(self):
+        """Residuals within 100x of the RELATIVE tolerance at max-iter ->
+        OSQP_SOLVED_INACCURATE; outside the band -> MAX_ITER_REACHED."""
+        P = jnp.array([[4.0, 1.0], [1.0, 2.0]])
+        A = jnp.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+        q = jnp.array([[1.0, 1.0]])
+        l = jnp.array([[1.0, 0.0, 0.0]])
+        u = jnp.array([[1.0, 0.7, 0.7]])
+        base = dict(polish=False, check_termination=5, use_pallas=False,
+                    compact_stragglers=False)
+        # converge exactly at eps=1e-10 to learn the iteration count
+        ref = admm.admm_solve(P, A, q, l, u, LParameters(
+            maximum_iteration=4000, eps_abs=1e-10, eps_rel=1e-10, **base))
+        assert int(ref.status[0]) == admm.OSQP_SOLVED
+        k = int(ref.iters[0])
+        # same iterate, tolerances tightened 100x, iterations capped at k:
+        # the residual now sits inside the (eps, 100*eps] band
+        sol = admm.admm_solve(P, A, q, l, u, LParameters(
+            maximum_iteration=k, eps_abs=1e-12, eps_rel=1e-12, **base))
+        assert int(sol.status[0]) == admm.OSQP_SOLVED_INACCURATE
+        # far outside the band (residual >> 100*eps): plain MAX_ITER
+        sol2 = admm.admm_solve(P, A, q, l, u, LParameters(
+            maximum_iteration=k, eps_abs=1e-15, eps_rel=1e-15, **base))
+        assert int(sol2.status[0]) == admm.OSQP_MAX_ITER_REACHED
+
+    def _primal_infeasible_problem(self):
+        rng = np.random.default_rng(3)
+        n, m = 5, 8
+        A = rng.normal(size=(m, n))
+        A[1] = A[0] * 1.7  # row1 is a scaled copy of row0 ...
+        l = np.full((1, m), -1.0)
+        u = np.full((1, m), 1.0)
+        l[0, 0], u[0, 0] = 1.0, np.inf  # ... forced >= 1
+        l[0, 1], u[0, 1] = -np.inf, -1.0  # ... and (scaled) <= -1
+        return (jnp.eye(n), jnp.asarray(A), jnp.zeros((1, n)),
+                jnp.asarray(l), jnp.asarray(u))
+
+    def test_primal_infeasible_inaccurate_band(self):
+        args = self._primal_infeasible_problem()
+        p = self._base(eps_prim_inf=1e-9)
+        # full run: the exact certificate fires
+        import dataclasses
+        full = admm.admm_solve(*args, dataclasses.replace(
+            p, maximum_iteration=200))
+        assert int(full.status[0]) == admm.OSQP_PRIMAL_INFEASIBLE
+        # starved mid-convergence: the certificate error sits between
+        # eps_prim_inf and 100*eps_prim_inf -> INACCURATE at max-iter
+        # (band located by a deterministic CPU/f64 scan)
+        mid = admm.admm_solve(*args, dataclasses.replace(
+            p, maximum_iteration=38))
+        assert int(mid.status[0]) == admm.OSQP_PRIMAL_INFEASIBLE_INACCURATE
+        # far before the band: plain MAX_ITER
+        early = admm.admm_solve(*args, dataclasses.replace(
+            p, maximum_iteration=30))
+        assert int(early.status[0]) == admm.OSQP_MAX_ITER_REACHED
+
+    def _dual_infeasible_problem(self):
+        rng = np.random.default_rng(5)
+        Bm = rng.normal(size=(2, 3))
+        _, _, Vt = np.linalg.svd(Bm)
+        v = Vt[-1]  # objective unbounded along the nullspace of Bm
+        P = jnp.asarray(Bm.T @ Bm)
+        q = jnp.asarray(-v)[None, :]
+        A = jnp.asarray(Bm)
+        return P, A, q, jnp.full((1, 2), -1.0), jnp.full((1, 2), 1.0)
+
+    def test_dual_infeasible_inaccurate_band(self):
+        args = self._dual_infeasible_problem()
+        p = self._base(eps_dual_inf=1e-9)
+        import dataclasses
+        full = admm.admm_solve(*args, dataclasses.replace(
+            p, maximum_iteration=200))
+        assert int(full.status[0]) == admm.OSQP_DUAL_INFEASIBLE
+        mid = admm.admm_solve(*args, dataclasses.replace(
+            p, maximum_iteration=10))
+        assert int(mid.status[0]) == admm.OSQP_DUAL_INFEASIBLE_INACCURATE
+        early = admm.admm_solve(*args, dataclasses.replace(
+            p, maximum_iteration=4))
+        assert int(early.status[0]) == admm.OSQP_MAX_ITER_REACHED
+
+    def test_controller_maps_inaccurate_statuses(self):
+        """The controller-level status map sends all three INACCURATE codes
+        to SUCCESS like the reference (LOptimizer.hpp:398-403)."""
+        from libmpc_tpu.lmpc.controller import _status_from_osqp
+        from libmpc_tpu.types import ResultStatus
+
+        codes = jnp.asarray([
+            admm.OSQP_SOLVED_INACCURATE,
+            admm.OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+            admm.OSQP_DUAL_INFEASIBLE_INACCURATE,
+        ])
+        out = np.asarray(_status_from_osqp(codes))
+        assert (out == int(ResultStatus.SUCCESS)).all()

@@ -441,7 +441,8 @@ class TestHessianModes:
             x = x + dx * 0.1
         return np.array(cmds), int(res.status)
 
-    @pytest.mark.parametrize("mode", ["gershgorin", "power", "bfgs"])
+    @pytest.mark.parametrize("mode", ["gershgorin", "power", "bfgs",
+                                      "gauss_newton"])
     def test_closed_loop_matches_exact_hessian(self, mode):
         ref, _ = self._run("eigh")
         got, status = self._run(mode)
@@ -523,3 +524,46 @@ class TestSQPStragglerCompaction:
         off, s_off = self._cmds(False, "fused")
         assert float(np.mean(s_on == 0)) == float(np.mean(s_off == 0)) == 1.0
         assert np.allclose(on, off, atol=2e-3)
+
+
+class TestFusedEngineSizeGate:
+    """An inner_qp="fused" request whose subproblem exceeds the Pallas
+    kernel's VMEM budget must degrade gracefully to an XLA engine instead of
+    failing at Mosaic lowering (the (nz, nz, 128) factorization scratch is
+    quadratic in the decision size)."""
+
+    def test_supported_gate_boundaries(self):
+        from libmpc_tpu.ops import qp_inner_pallas
+
+        # the production VdP subproblem (nz=26) fits ...
+        assert qp_inner_pallas.supported(26, 57)
+        # ... the networked-oscillators one (nz=301) cannot
+        assert not qp_inner_pallas.supported(301, 553)
+
+    def test_oversized_fused_request_degrades_gracefully(self):
+        # ph=20/ch=4 puts nz at 45 and the (45, 45, 128) scratch set past
+        # the VMEM budget: the solve must silently use the interior-point
+        # engine and still succeed
+        from libmpc_tpu.ops import qp_inner_pallas
+
+        ph, ch = 20, 4
+        nz = ph * 2 + ch * 1 + 1
+        assert not qp_inner_pallas.supported(nz, ph * 2 + (ph + 1) + nz)
+        c = NLMPC(nx=2, nu=1, ny=2, ph=ph, ch=ch, ineq=ph + 1, eq=0,
+                  dtype=jnp.float32)
+        c.set_discretization_sampling_time(0.1)
+        c.set_optimizer_parameters(
+            NLParameters(maximum_iteration=60, inner_qp="fused")
+        )
+        c.set_state_space_function(vdp_continuous)
+        c.set_objective_function(
+            lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2)
+        )
+        c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+        res = c.optimize(np.array([0.0, 1.0], np.float32),
+                         np.zeros(1, np.float32))
+        assert int(res.status) in (
+            int(ResultStatus.SUCCESS), int(ResultStatus.MAX_ITERATION)
+        )
+        assert bool(res.is_feasible)
+        assert np.asarray(res.cmd)[0] <= 0.5 + 1e-4
