@@ -175,7 +175,16 @@ def main():
     # double-precision golden (test/LMPC/test_common.cpp:230-236)
     cg = _golden_check(c, dims, dtype)
 
-    nlmpc_rate, nlmpc_success = _nlmpc_bench()
+    env_int = lambda name, dflt: int(os.environ.get(name, dflt))
+    closed_loop = _closed_loop_bench(
+        B=env_int("LIBMPC_CL_B", 16384), K=env_int("LIBMPC_CL_K", 16))
+    nlmpc_cl = _nlmpc_closed_loop_bench(
+        B=env_int("LIBMPC_NL_CL_B", 4096), K=env_int("LIBMPC_NL_CL_K", 16))
+    osc = _nlmpc_osc_bench(
+        B=env_int("LIBMPC_OSC_B", 256), K=env_int("LIBMPC_OSC_K", 8))
+
+    nlmpc_batch = env_int("LIBMPC_NL_B", 4096)
+    nlmpc_rate, nlmpc_success = _nlmpc_bench(nlmpc_batch)
 
     # reference-equivalent CPU anchor (misc/reference_anchor.py)
     anchor_path = os.path.join(os.path.dirname(__file__), "BASELINE_ANCHOR.json")
@@ -200,11 +209,265 @@ def main():
         "cmd_max_abs_err_vs_golden": cg,
         "nlmpc_vdp_solves_per_s": nlmpc_rate,
         "nlmpc_success_frac": nlmpc_success,
+        "nlmpc_batch": nlmpc_batch,
         "device": str(jax.devices()[0]),
     }
+    out.update(closed_loop)
+    out.update(nlmpc_cl)
+    out.update(osc)
     if _BACKEND_NOTE:
         out["backend_note"] = _BACKEND_NOTE
     print(json.dumps(out))
+
+
+def _closed_loop_inputs(B: int, K: int, nx: int = 12):
+    """Shared deterministic inputs of the plant-coupled LMPC benchmark:
+    randomized initial states and a per-step, per-instance process
+    disturbance (the plant is the controller model PLUS this noise, so the
+    warm start is never exact and every step is a genuine re-solve)."""
+    rng = np.random.default_rng(7)
+    x0 = 0.05 * rng.normal(size=(B, nx))
+    noise = 0.002 * rng.normal(size=(K, B, nx))
+    return x0, noise
+
+
+def _closed_loop_params():
+    from libmpc_tpu import LParameters
+
+    # production closed-loop configuration: receding-horizon warm-start
+    # shift (re-aligns the previous solution one stage forward each step —
+    # built for exactly this workload), shared polish, early checks.
+    # maximum_iteration=250 lets the COLD first step converge; warm steps
+    # retire at their own (much earlier) checks.
+    return LParameters(
+        maximum_iteration=250, enable_warm_start=True, warm_start_shift=True,
+        polish=True, polish_mode="shared", rho=0.01, check_termination=10,
+    )
+
+
+def _closed_loop_bench(B: int = 16384, K: int = 16):
+    """Plant-coupled receding-horizon LMPC: the ENTIRE closed loop — solver
+    and disturbed plant — runs on device as one lax.scan
+    (libmpc_tpu/rollout.py), mirroring the reference's application pattern
+    (examples/vanderpol_ex.cpp:76-85) at fleet scale.  Unlike the headline
+    re-solve metric, every step solves a genuinely new problem: the state
+    moved and the plant injected noise."""
+    from __graft_entry__ import _quadrotor_model, _quadrotor_setup
+    from libmpc_tpu.rollout import lmpc_rollout
+
+    dtype = jnp.float32
+    c = _quadrotor_setup(dtype)
+    c.set_optimizer_parameters(_closed_loop_params())
+    Ad, Bd = _quadrotor_model()
+    Adj, Bdj = jnp.asarray(Ad, dtype), jnp.asarray(Bd, dtype)
+    x0_h, noise_h = _closed_loop_inputs(B, K)
+    noise = jnp.asarray(noise_h, dtype)
+
+    def plant(x, u, k):
+        return x @ Adj.T + u @ Bdj.T + noise[k]
+
+    x0 = jnp.asarray(x0_h, dtype)
+    u0 = jnp.zeros((B, 4), dtype)
+    r = lmpc_rollout(c, plant, x0, u0, K)  # compile + first run
+    jax.block_until_ready(r.inputs)
+    t0 = time.perf_counter()
+    r = lmpc_rollout(c, plant, x0, u0, K)
+    jax.block_until_ready(r.inputs)
+    rate = B * K / (time.perf_counter() - t0)
+    iters = np.asarray(r.iterations)  # (B, K)
+    out = {
+        "closed_loop_solves_per_s": round(float(rate), 1),
+        "closed_loop_batch": B,
+        "closed_loop_steps": K,
+        "closed_loop_iters_mean": round(float(iters.mean()), 1),
+        # steps >= 1 run in the warm-started receding-horizon regime the
+        # loop settles into; step 0 is the one cold solve of the rollout
+        "closed_loop_iters_mean_warm": round(float(iters[:, 1:].mean()), 1),
+        "closed_loop_iters_p99_warm": round(
+            float(np.quantile(iters[:, 1:], 0.99)), 1),
+        "closed_loop_success_frac": round(
+            float(np.mean(np.asarray(r.statuses) == 0)), 4),
+    }
+
+    # golden-trajectory agreement: the same sub-batch closed loop vs the
+    # committed float64 oracle (misc/closed_loop_ref.py, tight-tolerance
+    # dense-polish f64 rollout on CPU)
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "misc", "results", "closed_loop_ref_f64.npz")
+    if os.path.exists(ref_path):
+        ref = np.load(ref_path)
+        B0, K0 = int(ref["B"]), int(ref["K"])
+        # regenerate the oracle's inputs EXACTLY (the RNG stream depends on
+        # the requested sizes, so slicing the big batch would differ)
+        x0_r, noise_r = _closed_loop_inputs(B0, K0)
+        noise0 = jnp.asarray(noise_r, dtype)
+
+        def plant0(x, u, k):
+            return x @ Adj.T + u @ Bdj.T + noise0[k]
+
+        c0 = _quadrotor_setup(dtype)
+        c0.set_optimizer_parameters(_closed_loop_params())
+        r0 = lmpc_rollout(c0, plant0, jnp.asarray(x0_r, dtype),
+                          jnp.zeros((B0, 4), dtype), K0)
+        err = np.abs(np.asarray(r0.inputs) - ref["inputs"])
+        out["closed_loop_cmd_max_err_vs_f64"] = round(float(err.max()), 8)
+        out["closed_loop_cmd_mean_err_vs_f64"] = round(float(err.mean()), 8)
+    return out
+
+
+def _vdp_closed_loop_inputs(B: int, K: int):
+    rng = np.random.default_rng(11)
+    x0 = rng.uniform(-1.0, 1.0, size=(B, 2))
+    noise = 0.01 * rng.normal(size=(K, B, 2))
+    return x0, noise
+
+
+def _make_vdp(dtype, params):
+    from libmpc_tpu import NLMPC
+
+    def vdp(x, u, k):
+        return jnp.stack([(1.0 - x[1] * x[1]) * x[0] - x[1] + u[0], x[0]])
+
+    c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=dtype)
+    c.set_discretization_sampling_time(0.1)
+    c.set_optimizer_parameters(params)
+    c.set_state_space_function(vdp)
+    c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+    c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+    return c, vdp
+
+
+def _nlmpc_closed_loop_bench(B: int = 4096, K: int = 16):
+    """Plant-coupled receding-horizon NLMPC (Van der Pol): full closed loop
+    on device via nlmpc_rollout — the warm-start shift + carried slack live
+    in the scan carry, like the reference carries opt_vector across steps
+    (NLOptimizer.hpp:426-510)."""
+    from libmpc_tpu import NLParameters
+    from libmpc_tpu.rollout import nlmpc_rollout
+
+    dtype = jnp.float32
+    params = NLParameters(maximum_iteration=30, enable_warm_start=True,
+                          inner_qp="fused", hessian_reg="gershgorin")
+    c, vdp = _make_vdp(dtype, params)
+    x0_h, noise_h = _vdp_closed_loop_inputs(B, K)
+    noise = jnp.asarray(noise_h, dtype)
+    ts = 0.1
+
+    def plant(x, u, k):
+        return x + ts * jax.vmap(vdp, in_axes=(0, 0, None))(x, u, k) + noise[k]
+
+    x0 = jnp.asarray(x0_h, dtype)
+    u0 = jnp.zeros((B, 1), dtype)
+    r = nlmpc_rollout(c, plant, x0, u0, K)
+    jax.block_until_ready(r.inputs)
+    t0 = time.perf_counter()
+    r = nlmpc_rollout(c, plant, x0, u0, K)
+    jax.block_until_ready(r.inputs)
+    rate = B * K / (time.perf_counter() - t0)
+    iters = np.asarray(r.iterations)
+    out = {
+        "nlmpc_closed_loop_solves_per_s": round(float(rate), 1),
+        "nlmpc_closed_loop_batch": B,
+        "nlmpc_closed_loop_steps": K,
+        "nlmpc_closed_loop_iters_mean": round(float(iters.mean()), 2),
+        "nlmpc_closed_loop_iters_p99": round(
+            float(np.quantile(iters.reshape(-1), 0.99)), 1),
+        "nlmpc_closed_loop_success_frac": round(
+            float(np.mean(np.asarray(r.statuses) == 0)), 4),
+    }
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "misc", "results", "vdp_closed_loop_ref_f64.npz")
+    if os.path.exists(ref_path):
+        ref = np.load(ref_path)
+        B0, K0 = int(ref["B"]), int(ref["K"])
+        # regenerate the oracle's inputs EXACTLY (the RNG stream depends on
+        # the requested sizes, so slicing the big batch would differ)
+        x0_r, noise_r = _vdp_closed_loop_inputs(B0, K0)
+        noise0 = jnp.asarray(noise_r, dtype)
+
+        def plant0(x, u, k):
+            return (x + ts * jax.vmap(vdp, in_axes=(0, 0, None))(x, u, k)
+                    + noise0[k])
+
+        c0, _ = _make_vdp(dtype, params)
+        r0 = nlmpc_rollout(c0, plant0, jnp.asarray(x0_r, dtype),
+                           jnp.zeros((B0, 1), dtype), K0)
+        err = np.abs(np.asarray(r0.inputs) - ref["inputs"])
+        # the max is dominated by the single COLD step-0 solve (both
+        # engines report SUCCESS at slightly different near-optimal
+        # points); the warm receding-horizon steps track the oracle an
+        # order of magnitude tighter — hence both aggregates
+        out["nlmpc_closed_loop_cmd_max_err_vs_f64"] = round(
+            float(err.max()), 8)
+        out["nlmpc_closed_loop_cmd_mean_err_vs_f64"] = round(
+            float(err.mean()), 8)
+    return out
+
+
+_OSC_N, _OSC_MU, _OSC_K = 6, 1.0, 0.1
+
+
+def _oscillator_dynamics(x, u, step):
+    """6 diffusively-coupled Van der Pol oscillators — the reference's
+    largest example (examples/networked_oscillators_ex.cpp:29-49):
+    12 states / 6 inputs, nz = 301 at ph=20/ch=10.  (Constants close over
+    the function: extra parameters would make callback canonicalization
+    treat it as runtime-parameter-taking.)"""
+    pos = x[0::2]
+    vel = x[1::2]
+    coupling = _OSC_K * (jnp.sum(pos) - _OSC_N * pos)
+    dvel = _OSC_MU * (1.0 - pos**2) * vel - pos + u + coupling
+    dx = jnp.zeros_like(x)
+    dx = dx.at[0::2].set(vel)
+    dx = dx.at[1::2].set(dvel)
+    return dx
+
+
+def _nlmpc_osc_bench(B: int = 256, K: int = 8):
+    """Networked-oscillators NLMPC at real size (nz=301): full closed loop
+    on device.  The fused inner-QP engine is size-gated out at this nz;
+    the solve runs gauss_newton curvature (constant objective Hessian, no
+    per-iteration nz^3 eigh) + the interior-point inner engine."""
+    from libmpc_tpu import NLMPC, NLParameters
+    from libmpc_tpu.rollout import nlmpc_rollout
+
+    dtype = jnp.float32
+    ph, ch, nx, nu = 20, 10, 12, 6
+    c = NLMPC(nx, nu, nx, ph, ch, (ph + 1) * nu, 0, dtype=dtype)
+    c.set_discretization_sampling_time(0.1)
+    c.set_state_space_function(_oscillator_dynamics)
+    c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+    c.set_ineq_con_function(lambda X, Y, U, e: (U - 0.5).reshape(-1))
+    c.set_optimizer_parameters(NLParameters(
+        maximum_iteration=30, enable_warm_start=True,
+        hessian_reg="gauss_newton", inner_qp="fused",  # gated -> pdip
+    ))
+    rng = np.random.default_rng(13)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, nx)), dtype)
+    noise = jnp.asarray(0.01 * rng.normal(size=(K, B, nx)), dtype)
+    ts = 0.1
+
+    def plant(x, u, k):
+        step = jax.vmap(_oscillator_dynamics, in_axes=(0, 0, None))(x, u, k)
+        return x + ts * step + noise[k]
+
+    u0 = jnp.zeros((B, nu), dtype)
+    r = nlmpc_rollout(c, plant, x0, u0, K)
+    jax.block_until_ready(r.inputs)
+    t0 = time.perf_counter()
+    r = nlmpc_rollout(c, plant, x0, u0, K)
+    jax.block_until_ready(r.inputs)
+    rate = B * K / (time.perf_counter() - t0)
+    iters = np.asarray(r.iterations)
+    return {
+        "nlmpc_osc_solves_per_s": round(float(rate), 1),
+        "nlmpc_osc_batch": B,
+        "nlmpc_osc_steps": K,
+        "nlmpc_osc_nz": ph * nx + nu * ch + 1,
+        "nlmpc_osc_iters_mean": round(float(iters.mean()), 2),
+        "nlmpc_osc_success_frac": round(
+            float(np.mean(np.asarray(r.statuses) == 0)), 4),
+    }
 
 
 def _nlmpc_bench(B: int = 4096):

@@ -191,8 +191,11 @@ class LMPCFleet:
         )
         built = c._ensure_built()
         batched_bounds = built[2].ndim > 1  # lineq carries the fleet batch
+        # params are in the key: the step closes over them as jit-static
+        # settings, so a set_optimizer_parameters on the wrapped controller
+        # must rebuild the fleet program too
         cache_key = (batched_refs, tuple(jax.tree.leaves(prob_pattern)),
-                     batched_bounds)
+                     batched_bounds, c._params)
         if self._step_fn is None or self._step_key != cache_key:
             self._step_fn = self._build(batched_refs, prob_pattern,
                                         batched_bounds)
@@ -251,6 +254,7 @@ class NLMPCFleet:
         self._budgeter = deadline.IterationBudgeter()
         self._budget_key = None
         self._step_fn = None
+        self._step_key = None
 
     def _build(self):
         c = self.controller
@@ -292,8 +296,17 @@ class NLMPCFleet:
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
         if B % n_data:
             raise ValueError(f"batch {B} must divide over data axis {n_data}")
-        if self._step_fn is None:
+        # rebuild when the wrapped controller is reconfigured: the step
+        # closes over params, the user callables and the scaling vectors —
+        # all jit-static from the fleet program's point of view
+        cache_key = (
+            c._params, c._fns, c._runtime_params_batched,
+            c._instance_bounds is not None,
+            id(c._state_scaling), id(c._input_scaling),
+        )
+        if self._step_fn is None or self._step_key != cache_key:
             self._step_fn = self._build()
+            self._step_key = cache_key
 
         use_prev = (
             c._params.enable_warm_start

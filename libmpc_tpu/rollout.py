@@ -35,23 +35,28 @@ class Rollout(NamedTuple):
     iterations: jax.Array  # (..., n_steps) solver iterations per step
 
 
-def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Rollout:
-    """Run ``n_steps`` closed-loop LMPC steps fully on device.
+def _runner_cache(controller) -> dict:
+    """Per-controller cache of compiled rollout programs.
 
-    ``x0``/``last_u`` may carry a leading batch axis; warm starting follows
-    the controller's ``enable_warm_start`` parameter and is carried through
-    the scan.
+    The runner closures capture only hashable configuration (dims, params,
+    plant_fn, batch shape); all array state flows through arguments, so a
+    cached runner stays valid across setter calls — jit itself retraces on
+    shape changes.  Without this every ``lmpc_rollout``/``nlmpc_rollout``
+    call would build (and recompile) a fresh closure.
     """
-    c = controller
-    dims, params = c.dims, c._params
-    x0 = jnp.asarray(x0, c.dtype)
-    last_u = jnp.asarray(last_u, c.dtype)
-    batch = x0.shape[:-1]
+    cache = getattr(controller, "_rollout_runner_cache", None)
+    if cache is None:
+        cache = {}
+        controller._rollout_runner_cache = cache
+    return cache
 
+
+@functools.lru_cache(maxsize=None)
+def _lmpc_runner(dims, params, dtype, plant_fn, batch, n_steps):
     @functools.partial(jax.jit, static_argnames=())
     def run(prob, built, y_ref, u_ref, du_ref, u_meas, x0, u0):
-        warm_x = jnp.zeros(batch + (dims.nz,), c.dtype)
-        warm_y = jnp.zeros(batch + (dims.m,), c.dtype)
+        warm_x = jnp.zeros(batch + (dims.nz,), dtype)
+        warm_y = jnp.zeros(batch + (dims.m,), dtype)
 
         def step(carry, k):
             x, u, wx, wy, hw = carry
@@ -68,6 +73,23 @@ def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Ro
             jnp.arange(n_steps),
         )
         return x_fin, xs, us, costs, sts, its
+
+    return run
+
+
+def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Rollout:
+    """Run ``n_steps`` closed-loop LMPC steps fully on device.
+
+    ``x0``/``last_u`` may carry a leading batch axis; warm starting follows
+    the controller's ``enable_warm_start`` parameter and is carried through
+    the scan.  Repeated calls with the same (plant, horizon, batch shape)
+    reuse one compiled program.
+    """
+    c = controller
+    x0 = jnp.asarray(x0, c.dtype)
+    last_u = jnp.asarray(last_u, c.dtype)
+    batch = x0.shape[:-1]
+    run = _lmpc_runner(c.dims, c._params, c.dtype, plant_fn, batch, n_steps)
 
     # the time-invariant work (assembly, Ruiz, KKT inverse) is hoisted out
     # of the scanned step entirely — one setup for the whole rollout
@@ -90,35 +112,45 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> R
     x0 = jnp.asarray(x0, c.dtype)
     last_u = jnp.asarray(last_u, c.dtype)
     batch = x0.shape[:-1]
-    solve_one = c._make_solve_one()
     rt = c._runtime_params
     lb, ub, b_batched = c._bounds_args()
-    p_axis = 0 if c._runtime_params_batched else None
-    b_axis = 0 if b_batched else None
 
-    solve = (
-        jax.vmap(solve_one, in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis))
-        if batch
-        else solve_one
-    )
-
-    @jax.jit
-    def run(x0, u0, p, lb, ub):
-        z0 = jnp.zeros(batch + (dims.nz,), c.dtype)
-        slack0 = jnp.zeros(batch, c.dtype)
-
-        def step(carry, k):
-            x, u, z, slack, hw = carry
-            sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, p, lb, ub)
-            result, seq = c._pack_result(sol, X, U, Y, feas, u)
-            x_next = plant_fn(x, result.cmd, k)
-            out = (x, result.cmd, result.cost, result.status, sol.iters)
-            return (x_next, result.cmd, sol.z, slack_n, jnp.asarray(True)), out
-
-        (x_fin, *_), (xs, us, costs, sts, its) = jax.lax.scan(
-            step, (x0, u0, z0, slack0, jnp.asarray(False)), jnp.arange(n_steps)
+    key = ("nlmpc", plant_fn, n_steps, batch, c._params, c._fns, b_batched,
+           c._runtime_params_batched,
+           id(c._state_scaling), id(c._input_scaling))
+    cache = _runner_cache(c)
+    run = cache.get(key)
+    if run is None:
+        solve_one = c._make_solve_one()
+        p_axis = 0 if c._runtime_params_batched else None
+        b_axis = 0 if b_batched else None
+        solve = (
+            jax.vmap(solve_one,
+                     in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis))
+            if batch
+            else solve_one
         )
-        return x_fin, xs, us, costs, sts, its
+
+        @jax.jit
+        def run(x0, u0, p, lb, ub):
+            z0 = jnp.zeros(batch + (dims.nz,), c.dtype)
+            slack0 = jnp.zeros(batch, c.dtype)
+
+            def step(carry, k):
+                x, u, z, slack, hw = carry
+                sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, p, lb, ub)
+                result, seq = c._pack_result(sol, X, U, Y, feas, u)
+                x_next = plant_fn(x, result.cmd, k)
+                out = (x, result.cmd, result.cost, result.status, sol.iters)
+                return (x_next, result.cmd, sol.z, slack_n, jnp.asarray(True)), out
+
+            (x_fin, *_), (xs, us, costs, sts, its) = jax.lax.scan(
+                step, (x0, u0, z0, slack0, jnp.asarray(False)),
+                jnp.arange(n_steps)
+            )
+            return x_fin, xs, us, costs, sts, its
+
+        cache[key] = run
 
     x_fin, xs, us, costs, sts, its = run(x0, last_u, rt, lb, ub)
     return _pack(x_fin, xs, us, costs, sts, its, batch)

@@ -1,6 +1,7 @@
 """On-device closed-loop rollout tests: one fused scan must reproduce the
 step-by-step host loop exactly."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -97,3 +98,41 @@ class TestNLMPCRollout:
         assert np.all(np.abs(finals[:, 0]) < 5e-2)
         # command cap respected everywhere
         assert np.asarray(roll.inputs).max() <= 0.5 + 1e-6
+
+
+class TestRunnerCaching:
+    """Repeated rollout calls with the same configuration must reuse ONE
+    compiled program (the runner closures are cached; jit keeps its own
+    per-shape cache on the cached callable)."""
+
+    def test_lmpc_runner_cached(self):
+        from libmpc_tpu import rollout as rollout_mod
+
+        Ad, Bd, _ = quadrotor_model()
+        Adj, Bdj = jnp.asarray(Ad), jnp.asarray(Bd)
+        plant = lambda x, u, k: x @ Adj.T + u @ Bdj.T
+        c = make_quadrotor_controller()
+        rollout_mod._lmpc_runner.cache_clear()
+        x0 = np.zeros((2, 12))
+        u0 = np.zeros((2, 4))
+        r1 = lmpc_rollout(c, plant, x0, u0, 3)
+        r2 = lmpc_rollout(c, plant, x0, u0, 3)
+        info = rollout_mod._lmpc_runner.cache_info()
+        assert info.misses == 1 and info.hits >= 1
+        assert np.array_equal(np.asarray(r1.inputs), np.asarray(r2.inputs))
+
+    def test_nlmpc_runner_cached(self):
+        ts = 0.1
+        vdp_b = jax.vmap(vdp_continuous, in_axes=(0, 0, None))
+        plant = lambda x, u, k: x + vdp_b(x, u, k) * ts
+        c = make_vdp_controller()
+        x0 = np.array([[0.2, -0.1], [0.1, 0.3]])
+        u0 = np.zeros((2, 1))
+        r1 = nlmpc_rollout(c, plant, x0, u0, 2)
+        cache = c._rollout_runner_cache
+        assert len(cache) == 1
+        fn = next(iter(cache.values()))
+        r2 = nlmpc_rollout(c, plant, x0, u0, 2)
+        assert len(cache) == 1
+        assert next(iter(cache.values())) is fn  # same compiled runner
+        assert np.array_equal(np.asarray(r1.inputs), np.asarray(r2.inputs))

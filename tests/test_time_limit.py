@@ -144,3 +144,75 @@ class TestBudgeter:
         assert cap == deadline.NO_BUDGET
         jnp.asarray(cap, jnp.int32)  # must stage without overflow
         assert b.budget(1e-3) == 1000
+
+
+class TestFleetTimeLimit:
+    """Fleet-path deadline enforcement: both fleet classes carry their own
+    IterationBudgeter (parallel/fleet.py); a budget-stopped fleet solve must
+    surface the reference's statuses in FleetStats — LMPC time-limit stops
+    count as UNKNOWN (LOptimizer.hpp:406-407), NLMPC ones as MAX_ITERATION
+    (NLOptimizer.hpp:744-746) — with finite commands."""
+
+    def test_lmpc_fleet_deadline_counts_unknown(self):
+        import dataclasses
+
+        from libmpc_tpu.parallel.fleet import LMPCFleet
+        from libmpc_tpu.parallel.mesh import make_mesh
+
+        c = make_quadrotor_controller()
+        c.set_optimizer_parameters(LParameters(
+            maximum_iteration=4000, eps_abs=1e-9, eps_rel=1e-9,
+            check_termination=5, polish=False, adaptive_rho=False,
+            time_limit=10.0,
+        ))
+        fleet = LMPCFleet(c, make_mesh(data=8))
+        rng = np.random.default_rng(0)
+        B = 16
+        x0 = 0.2 * rng.normal(size=(B, 12))
+        u0 = np.zeros((B, 4))
+        fleet.optimize(x0, u0)  # compile (never recorded)
+        fleet.optimize(x0, u0)  # calibration measurement
+        assert fleet._budgeter.seconds_per_iteration is not None
+        # micro-deadline through the calibrated fleet path; cold start so
+        # every instance genuinely needs many iterations
+        c.set_optimizer_parameters(dataclasses.replace(
+            c._params,
+            time_limit=fleet._budgeter.seconds_per_iteration * 6,
+        ))
+        fleet._warm_x = fleet._warm_y = None
+        res, stats = fleet.optimize(x0, u0)
+        assert int(stats.n_unknown) == B, str(stats)
+        assert int(stats.n_success) == 0
+        assert np.all(np.asarray(res.solver_status)
+                      == admm.OSQP_TIME_LIMIT_REACHED)
+        assert np.all(np.isfinite(np.asarray(res.cmd)))
+
+    def test_nlmpc_fleet_deadline_counts_max_iteration(self):
+        import dataclasses
+
+        from libmpc_tpu.parallel.fleet import NLMPCFleet
+        from libmpc_tpu.parallel.mesh import make_mesh
+
+        c = make_vdp_controller()
+        c.set_optimizer_parameters(NLParameters(
+            maximum_iteration=200, time_limit=10.0,
+        ))
+        fleet = NLMPCFleet(c, make_mesh(data=8))
+        rng = np.random.default_rng(1)
+        B = 16
+        x0 = np.stack([rng.uniform(0.8, 1.4, B), rng.uniform(-1.4, -0.8, B)],
+                      axis=1)
+        u0 = np.zeros((B, 1))
+        fleet.optimize(x0, u0)  # compile
+        fleet.optimize(x0, u0)  # calibrate
+        assert fleet._budgeter.seconds_per_iteration is not None
+        c.set_optimizer_parameters(dataclasses.replace(
+            c._params,
+            time_limit=fleet._budgeter.seconds_per_iteration * 1.5,
+        ))
+        fleet._opt_vector = fleet._slack = None
+        res, stats = fleet.optimize(x0, u0)
+        assert int(stats.n_max_iteration) == B, str(stats)
+        assert np.all(np.asarray(res.solver_status)
+                      == sqp.NLOPT_MAXTIME_REACHED)
+        assert np.all(np.isfinite(np.asarray(res.cmd)))
