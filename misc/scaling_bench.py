@@ -67,11 +67,79 @@ def measure(n_devices: int, per_device: int, steps: int) -> float:
     return B / float(np.median(lats))
 
 
+def measure_row_sharded(n_model: int, B: int, steps: int,
+                        params=None) -> float:
+    """Model-parallel datapoint: the quadrotor QP with constraint rows
+    sharded over ``model`` axis devices (data axis 1), median wall-clock of
+    ``steps`` repeat solves through the CACHED sharded program (the first
+    call compiles; subsequent calls must not retrace)."""
+    from libmpc_tpu import LParameters
+    from libmpc_tpu.lmpc import problem as qp
+    from libmpc_tpu.parallel import mesh as mesh_lib
+    from libmpc_tpu.parallel.qp_sharded import solve_sharded
+
+    from __graft_entry__ import _quadrotor_setup
+
+    dtype = jnp.float32
+    c = _quadrotor_setup(dtype)
+    params = params or LParameters(
+        maximum_iteration=250, rho=0.01, polish=True, polish_mode="dense",
+        use_pallas=False,
+    )
+    dims, prob = c.dims, c._prob
+    P, A, lineq, uineq = qp.build_time_invariant(dims, prob)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+    q, l, u = qp.build_time_varying(
+        dims, prob, lineq, uineq, x0, jnp.zeros((B, 4), dtype),
+        c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+    )
+    mesh = mesh_lib.make_mesh(data=1, model=n_model,
+                              devices=jax.devices()[:n_model])
+    eq_mask = jnp.arange(dims.m) < dims.n_eq
+    sol = solve_sharded(P, A, q, l, u, mesh, params, eq_mask=eq_mask)
+    jax.block_until_ready(sol.x)
+    lats = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        sol = solve_sharded(P, A, q, l, u, mesh, params, eq_mask=eq_mask)
+        jax.block_until_ready(sol.x)
+        lats.append(time.perf_counter() - t0)
+    return B / float(np.median(lats))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device", type=int, default=512)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--row-sharded", action="store_true",
+                    help="measure the model-parallel (row-sharded) QP path "
+                         "at model axis 1/2/4 instead of the fleet scaling")
+    ap.add_argument("--batch", type=int, default=1024,
+                    help="batch size for --row-sharded")
     args = ap.parse_args()
+
+    if args.row_sharded:
+        n_avail = len(jax.devices())
+        rows = []
+        base = None
+        for n in (1, 2, 4):
+            if n > n_avail:
+                break
+            rate = measure_row_sharded(n, args.batch, args.steps)
+            if base is None:
+                base = rate
+            rows.append({"model_axis": n, "solves_per_s": round(rate, 1),
+                         "vs_single": round(rate / base, 3)})
+            print(json.dumps(rows[-1]), flush=True)
+        print(json.dumps({
+            "row_sharded": rows, "batch": args.batch,
+            "platform": jax.devices()[0].platform,
+            "note": ("single-process virtual devices validate the harness "
+                     "and measure sharding overhead, not ICI"
+                     if jax.devices()[0].platform == "cpu" else "hardware"),
+        }))
+        return
 
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
