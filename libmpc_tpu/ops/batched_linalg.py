@@ -27,6 +27,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_B = 128
 
+# Per-core VMEM budget for the kernel's working set.  The kernel holds the
+# full (k, k, TILE_B) matrix tile in VMEM six times over: input + output
+# windows (double-buffered by the pipeline -> 2x each) plus two scratch
+# buffers — and Mosaic adds register-spill slots on top (measured 27 MB at
+# k=240).  64 MB of the 128 MB core budget keeps comfortable headroom.
+_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def kernel_supported(k: int) -> bool:
+    """Whether the fused Pallas kernel's VMEM working set fits for matrix
+    dimension ``k`` (~k <= 133 at TILE_B=128).  Callers with larger systems
+    get the XLA Cholesky path instead of a lowering failure (the same
+    degrade-gracefully contract as ops/qp_inner_pallas.supported)."""
+    return 6 * k * k * TILE_B * 4 <= _VMEM_BUDGET_BYTES
+
 
 def _chol_inv_kernel(C_ref, out_ref, L_s, inv_s, *, k):
     f1 = jnp.float32
@@ -127,10 +142,13 @@ def chol_inverse(C, *, force_kernel: bool = False, interpret: bool = False):
 
     TPU: one fused Pallas kernel per 128-instance tile (float32).
     CPU/other backends (and float64 inputs): XLA Cholesky + triangular
-    solves, which are fast there.
+    solves, which are fast there.  Matrices past the kernel's VMEM budget
+    (``kernel_supported``) always take the XLA path — even under
+    ``force_kernel`` — rather than fail to lower.
     """
     on_tpu = jax.default_backend() == "tpu"
-    if (on_tpu or force_kernel) and C.dtype == jnp.float32:
+    if ((on_tpu or force_kernel) and C.dtype == jnp.float32
+            and kernel_supported(C.shape[-1])):
         return _chol_inverse_pallas(C, interpret=interpret or not on_tpu)
     L = jnp.linalg.cholesky(C)
     eye = jnp.broadcast_to(jnp.eye(C.shape[-1], dtype=C.dtype), C.shape)

@@ -560,12 +560,41 @@ def _sqp_solve_hp(
         # the correction (constraint evaluation + batched solve) on EVERY
         # trial — measured 4x slower than the unconditional hoisted form.
         ce_full = ceq_fn(s.z + d)
-        JJt = Je @ Je.T + 1e-10 * jnp.eye(me, dtype=dtype)
-        # SPD solve routed through the fused Pallas batched-Cholesky under
-        # vmap (ops/batched_linalg.spd_solve): XLA's batched LU for this
-        # 20x20 system measured 5.7 ms per SQP iteration — 36% of the
-        # whole NLMPC solve — at batch 1024
-        d_soc = d - Je.T @ batched_linalg.spd_solve(JJt, ce_full)
+        if batched_linalg.kernel_supported(me):
+            # SPD solve routed through the fused Pallas batched-Cholesky
+            # under vmap (ops/batched_linalg.spd_solve): XLA's batched LU for
+            # this 20x20 system measured 5.7 ms per SQP iteration — 36% of
+            # the whole NLMPC solve — at batch 1024
+            JJt = Je @ Je.T + 1e-10 * jnp.eye(me, dtype=dtype)
+            soc_corr = batched_linalg.spd_solve(JJt, ce_full)
+        else:
+            # me past the Cholesky kernel's VMEM budget (e.g. networked
+            # oscillators: me = ph*nx = 240): matrix-free CG on Je Je' —
+            # two (me, nz) matvecs per iteration, pure MXU work, never forms
+            # or factors the dense me^2 system.  The SOC is a trial
+            # candidate, not the step itself, so a fixed-iteration
+            # approximate solve is sufficient; a poor candidate just loses
+            # the line search.
+            def _cg_mv(v):
+                return Je @ (v @ Je) + 1e-10 * v
+
+            def _cg_body(_, c):
+                x, r, p, rs = c
+                Ap = _cg_mv(p)
+                alpha = rs / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                rs_new = jnp.dot(r, r)
+                p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+                return (x, r, p, rs_new)
+
+            x_cg = jnp.zeros((me,), dtype)
+            r0 = ce_full
+            x_cg, _, _, _ = jax.lax.fori_loop(
+                0, 40, _cg_body, (x_cg, r0, r0, jnp.dot(r0, r0))
+            )
+            soc_corr = x_cg
+        d_soc = d - Je.T @ soc_corr
 
         # -- lazy backtracking line search ------------------------------
         # Candidates in order [alpha=1, SOC, 1/2, 1/4, ..., 2^-(K-2)]; each

@@ -345,7 +345,122 @@ def section_warm_shift(B=16384, K=8):
               f"(iters {float(jnp.mean(its)):.1f})", flush=True)
 
 
+def section_closed_loop_shift(B=16384, K=16):
+    """Plant-coupled A/B of the warm-start shift: the full disturbed
+    closed loop of bench._closed_loop_bench, shift on vs off."""
+    import dataclasses
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench as bench_mod
+    from __graft_entry__ import _quadrotor_model, _quadrotor_setup
+    from libmpc_tpu.rollout import lmpc_rollout
+
+    dtype = jnp.float32
+    Ad, Bd = _quadrotor_model()
+    Adj, Bdj = jnp.asarray(Ad, dtype), jnp.asarray(Bd, dtype)
+    x0_h, noise_h = bench_mod._closed_loop_inputs(B, K)
+    noise = jnp.asarray(noise_h, dtype)
+
+    def plant(x, u, k):
+        return x @ Adj.T + u @ Bdj.T + noise[k]
+
+    x0 = jnp.asarray(x0_h, dtype)
+    u0 = jnp.zeros((B, 4), dtype)
+    for shift in (True, False):
+        c = _quadrotor_setup(dtype)
+        c.set_optimizer_parameters(dataclasses.replace(
+            bench_mod._closed_loop_params(), warm_start_shift=shift))
+        r = lmpc_rollout(c, plant, x0, u0, K)
+        jax.block_until_ready(r.inputs)
+        t0 = time.perf_counter()
+        r = lmpc_rollout(c, plant, x0, u0, K)
+        jax.block_until_ready(r.inputs)
+        dt = time.perf_counter() - t0
+        iters = np.asarray(r.iterations)
+        print(f"shift={str(shift):5s}: {B * K / dt:9.1f} solves/s  "
+              f"iters warm mean {iters[:, 1:].mean():.1f} "
+              f"p99 {np.quantile(iters[:, 1:], 0.99):.0f}", flush=True)
+
+
+def section_fused_size_limit():
+    """Hardware validation of the fused inner-QP VMEM gate: run the raw
+    kernel at growing nz and report where it stops lowering, next to what
+    supported() predicts.  (Failures are caught — this section MAPS the
+    limit, it must not kill the sweep.)"""
+    from libmpc_tpu.ops import qp_inner_pallas
+
+    rng = np.random.default_rng(0)
+    B = 128
+    for n in (26, 40, 48, 56, 64, 80, 96, 112):
+        m = 2 * n + 5
+        L = rng.normal(size=(B, n, n)).astype(np.float32)
+        P = jnp.asarray(L @ np.transpose(L, (0, 2, 1))) + 0.5 * jnp.eye(n)
+        A = jnp.asarray(rng.normal(size=(B, m, n)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+        zc = jnp.einsum("bmn,bn->bm", A, rng.normal(size=(B, n)).astype(np.float32))
+        l, u = zc - 0.5, zc + 0.5
+        rho = jnp.full((B, m), 0.1, jnp.float32)
+        x0 = jnp.zeros((B, n), jnp.float32)
+        y0 = jnp.zeros((B, m), jnp.float32)
+        pred = qp_inner_pallas.supported(n, m)
+        try:
+            t0 = time.perf_counter()
+            out = qp_inner_pallas.solve_batched(
+                P, A, q, l, u, rho, x0, y0, max_iter=100)
+            jax.block_until_ready(out[0])
+            dt = time.perf_counter() - t0
+            done = float(jnp.mean(out[4]))
+            print(f"n={n:4d} m={m:4d}: OK ({dt:6.1f}s first call, "
+                  f"done={done:.2f}, supported()={pred})", flush=True)
+        except Exception as e:
+            print(f"n={n:4d} m={m:4d}: FAILS {type(e).__name__} "
+                  f"(supported()={pred})", flush=True)
+
+
+def section_osc_engine(B=128):
+    """Networked-oscillators (nz=301) engine A/B: curvature model x inner
+    QP engine, warm re-solve throughput + success."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench as bench_mod
+    from libmpc_tpu import NLMPC, NLParameters
+
+    rng = np.random.default_rng(13)
+    x0 = np.asarray(rng.uniform(-0.5, 0.5, size=(B, 12)), np.float32)
+    for hreg, engine in (("gauss_newton", "pdip"), ("gershgorin", "pdip"),
+                         ("gauss_newton", "admm")):
+        c = NLMPC(12, 6, 12, 20, 10, 21 * 6, 0, dtype=jnp.float32)
+        c.set_discretization_sampling_time(0.1)
+        c.set_state_space_function(bench_mod._oscillator_dynamics)
+        c.set_objective_function(
+            lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
+        c.set_ineq_con_function(lambda X, Y, U, e: (U - 0.5).reshape(-1))
+        c.set_optimizer_parameters(NLParameters(
+            maximum_iteration=30, enable_warm_start=True,
+            hessian_reg=hreg, inner_qp=engine))
+        c.set_stats_mode("lazy")
+        try:
+            res = c.optimize(x0, np.zeros((B, 6), np.float32))
+            res = c.optimize(x0, res.cmd)
+            jax.block_until_ready(res.cmd)
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                res = c.optimize(x0, res.cmd)
+            jax.block_until_ready(res.cmd)
+            dt = time.perf_counter() - t0
+            ok = float(np.mean(np.asarray(res.status) == 0))
+            print(f"hreg={hreg:12s} engine={engine:5s}: "
+                  f"{B * reps / dt:8.1f} solves/s  success={ok:.2f}",
+                  flush=True)
+        except Exception as e:
+            print(f"hreg={hreg:12s} engine={engine:5s}: FAILED "
+                  f"{type(e).__name__}: {e}", flush=True)
+
+
 SECTIONS = {
+    "closed_loop_shift": section_closed_loop_shift,
+    "fused_size_limit": section_fused_size_limit,
+    "osc_engine": section_osc_engine,
     "compaction": section_compaction,
     "warm_shift": section_warm_shift,
     "polish_cap": section_polish_cap,

@@ -42,6 +42,28 @@ class TestCholInverse:
         assert np.abs(resid - np.eye(17)).max() < 1e-4
         assert np.abs(Ci - ref).max() < 1e-3 * np.abs(ref).max()
 
+    def test_vmem_size_gate(self):
+        # working set is 6 * k^2 * 128 * 4 bytes against a 64 MB budget:
+        # the polish (k ~ 48) and small-SOC (k ~ 20) sizes pass, the
+        # networked-oscillators SOC size (k = 240, the r2 hardware
+        # lowering failure) must be gated out
+        assert batched_linalg.kernel_supported(20)
+        assert batched_linalg.kernel_supported(48)
+        assert batched_linalg.kernel_supported(128)
+        assert not batched_linalg.kernel_supported(160)
+        assert not batched_linalg.kernel_supported(240)
+
+    def test_oversized_matrix_takes_xla_path_even_forced(self):
+        # k past the gate: force_kernel must NOT attempt the Pallas kernel
+        # (it cannot lower on TPU — VMEM OOM at compile time); the XLA
+        # fallback answers instead
+        C = self._spd_batch(2, 160, seed=9)
+        Ci = np.asarray(
+            batched_linalg.chol_inverse(jnp.asarray(C), force_kernel=True)
+        )
+        resid = np.einsum("bij,bjk->bik", C.astype(np.float64), Ci)
+        assert np.abs(resid - np.eye(160)).max() < 1e-2
+
     def test_pallas_kernel_pads_partial_tile(self):
         # batch not a multiple of the 128-lane tile: padding must not
         # corrupt the real instances

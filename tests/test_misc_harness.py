@@ -36,6 +36,15 @@ class TestBenchScript:
         contract keys (runs on CPU with a tiny batch)."""
         env = dict(os.environ)
         env["LIBMPC_PLATFORM"] = "cpu"
+        # shrink every section to smoke size: the full-size closed-loop
+        # rollouts (16384x16 LMPC scan, nz=301 oscillators) are TPU
+        # workloads that take far past the timeout to compile+run on CPU
+        env.update({
+            "LIBMPC_CL_B": "8", "LIBMPC_CL_K": "2",
+            "LIBMPC_NL_CL_B": "4", "LIBMPC_NL_CL_K": "2",
+            "LIBMPC_OSC_B": "2", "LIBMPC_OSC_K": "1",
+            "LIBMPC_NL_B": "8",
+        })
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "8"],
             capture_output=True, text=True, timeout=900, env=env, cwd=REPO,

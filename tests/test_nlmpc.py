@@ -567,3 +567,35 @@ class TestFusedEngineSizeGate:
         )
         assert bool(res.is_feasible)
         assert np.asarray(res.cmd)[0] <= 0.5 + 1e-4
+
+
+class TestLargeEqualitySOC:
+    """Past the batched-Cholesky VMEM gate (me = ph*nx > ~133, e.g. the
+    networked oscillators at me=240 — the r2 hardware lowering failure) the
+    second-order correction must route through the matrix-free CG solve and
+    the whole SQP still run."""
+
+    def test_large_me_solve_runs_and_converges(self):
+        from libmpc_tpu.ops import batched_linalg
+
+        ph, ch = 80, 4
+        me = ph * 2
+        assert not batched_linalg.kernel_supported(me)
+        c = NLMPC(nx=2, nu=1, ny=2, ph=ph, ch=ch, ineq=0, eq=0,
+                  dtype=jnp.float32)
+        c.set_discretization_sampling_time(0.05)
+        c.set_optimizer_parameters(
+            NLParameters(maximum_iteration=40, inner_qp="pdip",
+                         hessian_reg="gauss_newton")
+        )
+        c.set_state_space_function(vdp_continuous)
+        c.set_objective_function(
+            lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2)
+        )
+        res = c.optimize(np.array([0.2, 0.3], np.float32),
+                         np.zeros(1, np.float32))
+        assert np.all(np.isfinite(np.asarray(res.cmd)))
+        assert int(res.status) in (
+            int(ResultStatus.SUCCESS), int(ResultStatus.MAX_ITERATION)
+        )
+        assert bool(res.is_feasible)
