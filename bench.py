@@ -427,7 +427,9 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
     """Networked-oscillators NLMPC at real size (nz=301): full closed loop
     on device.  The fused inner-QP engine is size-gated out at this nz;
     the solve runs gauss_newton curvature (constant objective Hessian, no
-    per-iteration nz^3 eigh) + the interior-point inner engine."""
+    per-iteration nz^3 eigh) + the inner-ADMM engine (the measured-faster
+    oversize fallback; its KKT inverse routes through the blocked-Schur
+    Pallas path, ops/batched_linalg)."""
     from libmpc_tpu import NLMPC, NLParameters
     from libmpc_tpu.rollout import nlmpc_rollout
 
@@ -440,7 +442,7 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
     c.set_ineq_con_function(lambda X, Y, U, e: (U - 0.5).reshape(-1))
     c.set_optimizer_parameters(NLParameters(
         maximum_iteration=30, enable_warm_start=True,
-        hessian_reg="gauss_newton", inner_qp="fused",  # gated -> pdip
+        hessian_reg="gauss_newton", inner_qp="fused",  # gated -> admm
     ))
     rng = np.random.default_rng(13)
     x0 = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, nx)), dtype)

@@ -201,12 +201,26 @@ def fix_bounds(z, lb, ub):
 def is_feasible(dims: NLDims, fns: NLFunctions, state_scaling, input_scaling,
                 z, x0, ineq_tol, eq_tol, p=None):
     """User-constraint feasibility verdict (defects are NOT checked, matching
-    Constraints.hpp:157-202)."""
+    Constraints.hpp:157-202).
+
+    The user tolerance is floored at ~32 ulps of the constraint scale in the
+    working precision: the reference's 1e-10 default is meaningful in
+    double, but a float32 solve cannot certify an ACTIVE constraint tighter
+    than one ulp of its bound (~6e-8 at 0.5) — without the floor the
+    verdict would flip with the last-bit rounding of whichever inner engine
+    produced the iterate.  In float64 the floor (~1e-14) sits below every
+    reference default and changes nothing.
+    """
+    eps_m = 1.2e-7 if z.dtype == jnp.float32 else 2.2e-16
+
+    def tol_floor(user_tol, v):
+        return jnp.maximum(user_tol, 32.0 * eps_m * (1.0 + jnp.abs(v)))
+
     ok = jnp.asarray(True)
     if fns.ineq_fn is not None:
         v = user_ineq(dims, fns, state_scaling, input_scaling, z, x0, p)
-        ok = ok & jnp.all(v <= ineq_tol)
+        ok = ok & jnp.all(v <= tol_floor(ineq_tol, v))
     if fns.eq_fn is not None:
         v = user_eq(dims, fns, state_scaling, input_scaling, z, x0, p)
-        ok = ok & (jnp.max(jnp.abs(v)) <= eq_tol)
+        ok = ok & jnp.all(jnp.abs(v) <= tol_floor(eq_tol, v))
     return ok

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import LParameters
+from . import batched_linalg
 
 # -- OSQP status values (osqp/include/constants.h of OSQP v0.6.3) -----------
 OSQP_SOLVED = 1
@@ -309,8 +310,11 @@ def _build_kkt_inverse(P, A, rho_vec, sigma, axis_rows=None):
     eye = jnp.eye(n, dtype=P.dtype)
     AtRA = _psum_rows((A.T * rho_vec[None, :]) @ A, axis_rows)
     M = P + sigma * eye + AtRA
-    cho = jax.scipy.linalg.cho_factor(M)
-    Minv = jax.scipy.linalg.cho_solve(cho, eye)
+    # spd_inverse: identical Cholesky solve when unbatched (the shared-
+    # factorization LMPC path); under vmap (the per-instance SQP inner QPs)
+    # it routes to the fused Pallas kernel / blocked Schur recursion
+    # instead of XLA's slow in-loop cholesky+triangular_solve expansion
+    Minv = batched_linalg.spd_inverse(M)
     return M, Minv
 
 

@@ -27,19 +27,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_B = 128
 
-# Per-core VMEM budget for the kernel's working set.  The kernel holds the
-# full (k, k, TILE_B) matrix tile in VMEM six times over: input + output
-# windows (double-buffered by the pipeline -> 2x each) plus two scratch
-# buffers — and Mosaic adds register-spill slots on top (measured 27 MB at
-# k=240).  64 MB of the 128 MB core budget keeps comfortable headroom.
-_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+# VMEM budget for the kernel's working set.  The kernel holds the full
+# (k, k, TILE_B) matrix tile in VMEM six times over: input + output windows
+# (double-buffered by the pipeline -> 2x each) plus two scratch buffers.
+# The binding limit is NOT the 128 MB core VMEM but the ~16 MB *scoped*
+# allocation budget the TPU compiler enforces for kernels inside loop
+# bodies (where every call site of this kernel lives — SQP/ADMM while
+# loops); measured: a (128,128,128) window set is rejected with "Scoped
+# allocation 31.68M, limit 16.00M".  8 MB keeps the same headroom stance
+# as ops/qp_inner_pallas._VMEM_BUDGET_BYTES.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+# Diagonal-block size of the blocked Schur-complement inverse: the largest
+# proven-in-production kernel size under the budget (the LMPC polish
+# Woodbury systems run at k=48 inside the ADMM while loop on hardware).
+_BLOCK_K = 48
 
 
 def kernel_supported(k: int) -> bool:
     """Whether the fused Pallas kernel's VMEM working set fits for matrix
-    dimension ``k`` (~k <= 133 at TILE_B=128).  Callers with larger systems
-    get the XLA Cholesky path instead of a lowering failure (the same
-    degrade-gracefully contract as ops/qp_inner_pallas.supported)."""
+    dimension ``k`` (~k <= 52 at TILE_B=128 against the scoped-VMEM
+    budget).  Callers with larger systems get the blocked Schur recursion
+    (on TPU) or the XLA Cholesky path instead of a lowering failure (the
+    same degrade-gracefully contract as ops/qp_inner_pallas.supported)."""
     return 6 * k * k * TILE_B * 4 <= _VMEM_BUDGET_BYTES
 
 
@@ -112,6 +122,60 @@ def _chol_inverse_pallas(C, interpret=False):
     return jnp.moveaxis(out, -1, 0)[:B]
 
 
+def _chol_inverse_blocked(C, interpret=False):
+    """Explicit inverse of large batched SPD matrices by 2x2 block Schur
+    recursion: the leading (_BLOCK_K, _BLOCK_K) diagonal block inverts in
+    the fused Pallas kernel, the trailing Schur complement recurses, and
+    everything else is batched matmuls on the MXU.
+
+    This replaces XLA's cholesky+triangular_solve expansion for k past the
+    kernel's VMEM gate — measured on TPU v5e (nz=301 oscillator NLMPC,
+    B=128): the XLA path costs ~22 ms per interior-point iteration, ~88%
+    of the whole SQP solve; the blocked inverse is matmul-bound.
+
+        [A  B]^-1  =  [Ai + AiB Si AiB'   -AiB Si]
+        [B' D]        [   -Si AiB'            Si ],
+    with Ai = A^-1, S = D - B' Ai B, Si = S^-1, AiB = Ai B.
+    """
+    k = C.shape[-1]
+    if kernel_supported(k):
+        return _chol_inverse_pallas(C, interpret=interpret)
+    k1 = _BLOCK_K
+    A = C[:, :k1, :k1]
+    Bb = C[:, :k1, k1:]
+    D = C[:, k1:, k1:]
+    Ai = _chol_inverse_blocked(A, interpret=interpret)
+    AiB = Ai @ Bb
+    S = D - jnp.swapaxes(Bb, -1, -2) @ AiB
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    Si = _chol_inverse_blocked(S, interpret=interpret)
+    AiBSi = AiB @ Si
+    tl = Ai + AiBSi @ jnp.swapaxes(AiB, -1, -2)
+    top = jnp.concatenate([tl, -AiBSi], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(AiBSi, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@jax.custom_batching.custom_vmap
+def spd_inverse(M):
+    """Explicit inverse of an SPD matrix — written per-instance; under
+    ``vmap`` the batch routes to the fused Pallas Cholesky kernel (small k)
+    or the blocked Schur recursion (large k).  The TPU-friendly alternative
+    to factor+triangular-solve: every downstream solve becomes a matmul
+    (same design as the LMPC ADMM kernel's explicit inverse,
+    ops/admm.py::_prepare)."""
+    import jax.scipy.linalg as jsl
+
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    return jsl.cho_solve(jsl.cho_factor(M), eye)
+
+
+@spd_inverse.def_vmap
+def _spd_inverse_vmap(axis_size, in_batched, M):
+    M = M if in_batched[0] else jnp.broadcast_to(M[None], (axis_size,) + M.shape)
+    return chol_inverse(M), True
+
+
 @jax.custom_batching.custom_vmap
 def spd_solve(M, rhs):
     """Solve ``M x = rhs`` for SPD ``M`` — written per-instance, and under
@@ -140,16 +204,19 @@ def _spd_solve_vmap(axis_size, in_batched, M, rhs):
 def chol_inverse(C, *, force_kernel: bool = False, interpret: bool = False):
     """Inverse of a batch of small SPD matrices ``C`` (B, k, k).
 
-    TPU: one fused Pallas kernel per 128-instance tile (float32).
+    TPU: one fused Pallas kernel per 128-instance tile (float32); matrices
+    past the kernel's VMEM budget (``kernel_supported``) use the blocked
+    Schur recursion (Pallas diagonal blocks + MXU matmuls) instead of
+    failing to lower.
     CPU/other backends (and float64 inputs): XLA Cholesky + triangular
-    solves, which are fast there.  Matrices past the kernel's VMEM budget
-    (``kernel_supported``) always take the XLA path — even under
-    ``force_kernel`` — rather than fail to lower.
+    solves, which are fast there.
     """
     on_tpu = jax.default_backend() == "tpu"
-    if ((on_tpu or force_kernel) and C.dtype == jnp.float32
-            and kernel_supported(C.shape[-1])):
-        return _chol_inverse_pallas(C, interpret=interpret or not on_tpu)
+    if (on_tpu or force_kernel) and C.dtype == jnp.float32:
+        interp = interpret or not on_tpu
+        if kernel_supported(C.shape[-1]):
+            return _chol_inverse_pallas(C, interpret=interp)
+        return _chol_inverse_blocked(C, interpret=interp)
     L = jnp.linalg.cholesky(C)
     eye = jnp.broadcast_to(jnp.eye(C.shape[-1], dtype=C.dtype), C.shape)
     import jax.scipy.linalg as jsl

@@ -31,6 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import batched_linalg
 from .admm import OSQP_MAX_ITER_REACHED, OSQP_SOLVED
 
 
@@ -104,7 +105,7 @@ def pdip_solve(
         res: jax.Array
         it: jax.Array
 
-    def body(_, st: St) -> St:
+    def body(st: St) -> St:
         d, nu, lam, s = st.d, st.nu, st.lam, st.s
         r_d, r_e, r_i_raw = kkt_res(d, nu, lam)
         # primal residual of the slack form: Ji d + s - bi = 0
@@ -133,7 +134,34 @@ def pdip_solve(
             mask_i, jnp.minimum(lam / jnp.maximum(s, 1e-30), cap), 0.0
         )
         H = B + (Ji.T * lam_s[None, :]) @ Ji + reg_p * jnp.eye(nz, dtype=dtype)
-        cho = jax.scipy.linalg.cho_factor(H)
+        # float32 accelerator path: EXPLICIT inverses (batched Pallas
+        # Cholesky kernel / blocked Schur recursion under vmap,
+        # ops/batched_linalg.spd_inverse) so every downstream solve is an
+        # MXU matmul.  XLA's cholesky+triangular_solve expansion inside the
+        # vmapped SQP loop measured ~22 ms per IPM iteration at nz=301 —
+        # ~88% of the whole oscillator NLMPC solve; the barrier cap above
+        # bounds the conditioning so the f32 inverse stays accurate enough
+        # for the predictor-corrector (which re-derives residuals exactly).
+        # float64 (CPU parity) keeps the factor+solve path.
+        if f32:
+            Hinv = batched_linalg.spd_inverse(H)
+            _solve = lambda r: Hinv @ r
+        else:
+            cho = jax.scipy.linalg.cho_factor(H)
+            _solve = lambda r: jax.scipy.linalg.cho_solve(cho, r)
+        # the Schur pieces depend only on the factorization, not on the
+        # residuals: build them ONCE per iteration — the predictor and
+        # corrector solves share them (the (nz, me) solve pair is the
+        # dominant per-iteration cost at large me)
+        if me:
+            HiJt = _solve(Je.T)  # (nz, me)
+            S = Je @ HiJt + reg_d * jnp.eye(me, dtype=dtype)
+            if f32:
+                Sinv = batched_linalg.spd_inverse(0.5 * (S + S.T))
+                _solveS = lambda r: Sinv @ r
+            else:
+                choS = jax.scipy.linalg.cho_factor(S)
+                _solveS = lambda r: jax.scipy.linalg.cho_solve(choS, r)
 
         def kkt_solve(rd, re, rcomp):
             """Solve the reduced Newton system for given residuals.
@@ -147,15 +175,12 @@ def pdip_solve(
             #   (B + Ji' D Ji) dd + Je' dnu = -rd - Ji'[(lam r_i - rcomp)/s]
             rhs_d = -rd - ((lam * r_i - rcomp) / jnp.maximum(s, 1e-30) * mask_i) @ Ji
             if me:
-                HiJt = jax.scipy.linalg.cho_solve(cho, Je.T)  # (nz, me)
-                Hir = jax.scipy.linalg.cho_solve(cho, rhs_d)
-                S = Je @ HiJt + reg_d * jnp.eye(me, dtype=dtype)
-                choS = jax.scipy.linalg.cho_factor(S)
-                dnu = jax.scipy.linalg.cho_solve(choS, Je @ Hir + re)
+                Hir = _solve(rhs_d)
+                dnu = _solveS(Je @ Hir + re)
                 dd = Hir - HiJt @ dnu
             else:
                 dnu = jnp.zeros((0,), dtype)
-                dd = jax.scipy.linalg.cho_solve(cho, rhs_d)
+                dd = _solve(rhs_d)
             dlam = jnp.where(
                 mask_i,
                 (lam * (Ji @ dd + r_i) - rcomp) / jnp.maximum(s, 1e-30),
@@ -224,7 +249,14 @@ def pdip_solve(
         res=jnp.asarray(jnp.inf, dtype),
         it=jnp.asarray(0, jnp.int32),
     )
-    st = jax.lax.fori_loop(0, n_iters, body, init)
+    # early-exit loop: an instance stops iterating the moment it converges
+    # (or degenerates); under ``vmap`` the while_loop runs until EVERY lane
+    # is done, so a warm-started batch that converges in ~10 iterations no
+    # longer pays for the full fixed budget (each iteration carries two
+    # batched factorizations — the dominant inner-QP cost).
+    st = jax.lax.while_loop(
+        lambda st: ~st.done & (st.it < n_iters), body, init
+    )
     # final residual refresh for instances that ran to the end
     r_d, r_e, r_i = kkt_res(st.d, st.nu, st.lam)
     mu = jnp.sum(jnp.where(mask_i, st.lam * st.s, 0.0)) / m_real

@@ -43,26 +43,42 @@ class TestCholInverse:
         assert np.abs(Ci - ref).max() < 1e-3 * np.abs(ref).max()
 
     def test_vmem_size_gate(self):
-        # working set is 6 * k^2 * 128 * 4 bytes against a 64 MB budget:
-        # the polish (k ~ 48) and small-SOC (k ~ 20) sizes pass, the
-        # networked-oscillators SOC size (k = 240, the r2 hardware
-        # lowering failure) must be gated out
+        # working set is 6 * k^2 * 128 * 4 bytes against the 8 MB scoped
+        # budget: the polish (k ~ 48) and small-SOC (k ~ 20) sizes pass,
+        # a (128,128) block (rejected on hardware with "Scoped allocation
+        # 31.68M, limit 16.00M") and the oscillators SOC size (k = 240)
+        # must be gated out
         assert batched_linalg.kernel_supported(20)
         assert batched_linalg.kernel_supported(48)
-        assert batched_linalg.kernel_supported(128)
+        assert not batched_linalg.kernel_supported(128)
         assert not batched_linalg.kernel_supported(160)
         assert not batched_linalg.kernel_supported(240)
 
-    def test_oversized_matrix_takes_xla_path_even_forced(self):
-        # k past the gate: force_kernel must NOT attempt the Pallas kernel
-        # (it cannot lower on TPU — VMEM OOM at compile time); the XLA
-        # fallback answers instead
+    def test_oversized_matrix_takes_blocked_path_even_forced(self):
+        # k past the gate: force_kernel must NOT attempt the monolithic
+        # Pallas kernel (it cannot lower on TPU — VMEM OOM at compile
+        # time); the blocked Schur recursion answers instead
         C = self._spd_batch(2, 160, seed=9)
         Ci = np.asarray(
             batched_linalg.chol_inverse(jnp.asarray(C), force_kernel=True)
         )
         resid = np.einsum("bij,bjk->bik", C.astype(np.float64), Ci)
         assert np.abs(resid - np.eye(160)).max() < 1e-2
+
+    def test_blocked_inverse_two_level_recursion(self):
+        # k=301 (the networked-oscillators KKT size): 128 + (128 + 45)
+        # blocks — two recursion levels, partial trailing block
+        C = self._spd_batch(2, 301, seed=11)
+        Ci = np.asarray(batched_linalg._chol_inverse_blocked(
+            jnp.asarray(C), interpret=True))
+        resid = np.einsum("bij,bjk->bik", C.astype(np.float64), Ci)
+        assert np.abs(resid - np.eye(301)).max() < 5e-3
+
+    def test_spd_inverse_routes_under_vmap(self):
+        C = self._spd_batch(6, 24, seed=13)
+        Ci = np.asarray(jax.vmap(batched_linalg.spd_inverse)(jnp.asarray(C)))
+        ref = np.linalg.inv(C.astype(np.float64))
+        assert np.abs(Ci - ref).max() < 1e-3 * np.abs(ref).max()
 
     def test_pallas_kernel_pads_partial_tile(self):
         # batch not a multiple of the 128-lane tile: padding must not

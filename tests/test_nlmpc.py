@@ -542,8 +542,9 @@ class TestFusedEngineSizeGate:
 
     def test_oversized_fused_request_degrades_gracefully(self):
         # ph=20/ch=4 puts nz at 45 and the (45, 45, 128) scratch set past
-        # the VMEM budget: the solve must silently use the interior-point
-        # engine and still succeed
+        # the VMEM budget: the solve must silently use the inner-ADMM
+        # engine (the measured-faster f32 oversize fallback) and still
+        # succeed
         from libmpc_tpu.ops import qp_inner_pallas
 
         ph, ch = 20, 4
