@@ -162,10 +162,92 @@ def nlmpc_anchor(n_loops: int) -> dict:
     }
 
 
+def oscillators_anchor(n_steps: int) -> dict:
+    """Networked-oscillators NLMPC (the reference's largest example,
+    examples/networked_oscillators_ex.cpp: 12 states / 6 inputs, ph=20,
+    ch=10 -> nz=301) under SciPy SLSQP with FD derivatives — the CPU-scale
+    anchor for the TPU bench's ``nlmpc_osc_solves_per_s`` section."""
+    from scipy.optimize import minimize
+
+    N, mu, kcpl = 6, 1.0, 0.1
+    ph, ch, nx, nu, ts = 20, 10, 2 * N, N, 0.1
+    nz = ph * nx + ch * nu + 1
+
+    def fdyn(x, u):
+        pos, vel = x[0::2], x[1::2]
+        coupling = kcpl * (np.sum(pos) - N * pos)
+        dvel = mu * (1.0 - pos**2) * vel - pos + u + coupling
+        dx = np.empty_like(x)
+        dx[0::2] = vel
+        dx[1::2] = dvel
+        return dx
+
+    def unpack(z):
+        X = z[: ph * nx].reshape(ph, nx)
+        U = z[ph * nx : ph * nx + ch * nu].reshape(ch, nu)
+        idx = np.minimum(np.arange(ph), ch - 1)
+        return X, U[idx]
+
+    def defects(z, x0):
+        X, U = unpack(z)
+        Xall = np.vstack([x0, X])
+        h = ts / 2.0
+        c = np.empty((ph, nx))
+        for k in range(ph):
+            c[k] = (Xall[k] + h * (fdyn(Xall[k], U[k]) + fdyn(Xall[k + 1], U[k]))
+                    - Xall[k + 1])
+        return c.ravel()
+
+    def cost(z, x0):
+        X, U = unpack(z)
+        Xall = np.vstack([x0, X])
+        Uall = np.vstack([U, U[-1]])
+        return float(np.sum(Xall**2) + np.sum(Uall**2))
+
+    def ineq(z, x0):  # u <= 0.5 per entry -> >= 0 form
+        _, U = unpack(z)
+        Uall = np.vstack([U, U[-1]])
+        return (0.5 - Uall).ravel()
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-0.5, 0.5, size=nx)  # bench.py's x0 distribution
+    z = np.zeros(nz)
+    solve_times = []
+    nit_total = 0
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        res = minimize(
+            cost, z, args=(x,), method="SLSQP",
+            constraints=[
+                {"type": "eq", "fun": defects, "args": (x,)},
+                {"type": "ineq", "fun": ineq, "args": (x,)},
+            ],
+            options={"maxiter": 100, "ftol": 1e-6},
+        )
+        solve_times.append(time.perf_counter() - t0)
+        nit_total += res.nit
+        z = res.x
+        u = z[ph * nx : ph * nx + nu]
+        x = x + ts * fdyn(x, u)
+    st = np.asarray(solve_times)
+    return {
+        "problem": ("networked oscillators NLMPC (nz=%d, ph=%d, ch=%d), "
+                    "closed loop" % (nz, ph, ch)),
+        "solver": "scipy SLSQP (Kraft SLSQP = NLopt LD_SLSQP algorithm), FD derivatives",
+        "per_solve_ms_mean": round(float(st.mean() * 1e3), 3),
+        "per_solve_ms_min": round(float(st.min() * 1e3), 3),
+        "solves_per_s": round(float(1.0 / st.mean()), 2),
+        "n_solves": int(st.size),
+        "slsqp_iters_mean": round(nit_total / st.size, 1),
+        "final_state_norm": float(np.max(np.abs(x))),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--qp-solves", type=int, default=200)
     ap.add_argument("--nl-loops", type=int, default=2)
+    ap.add_argument("--osc-steps", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "BASELINE_ANCHOR.json"))
     args = ap.parse_args()
@@ -179,6 +261,7 @@ def main():
         ),
         "cpu": platform.processor() or platform.machine(),
         "nlmpc_vanderpol": nlmpc_anchor(args.nl_loops),
+        "nlmpc_oscillators": oscillators_anchor(args.osc_steps),
         "lmpc_quadrotor": lmpc_anchor(args.qp_solves),
     }
     with open(args.out, "w") as fh:
