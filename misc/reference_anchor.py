@@ -22,9 +22,15 @@ stand-ins, on the same machine, single-threaded, double precision:
   FD derivatives match the reference's differentiation strategy
   (Objective.hpp:198-264, Constraints.hpp:844-905).
 
+* **Oscillators anchor** — the networked-oscillators NLMPC closed loop
+  (identical formulation to examples/networked_oscillators_ex.cpp at full
+  size, nz=301) under the same SciPy SLSQP — the CPU-scale anchor for the
+  bench's ``nlmpc_osc_solves_per_s`` section.
+
 Writes ``BASELINE_ANCHOR.json`` at the repo root.
 
-Usage:  python misc/reference_anchor.py  [--steps N]
+Usage:  python misc/reference_anchor.py
+          [--qp-solves N] [--nl-loops N] [--osc-steps N] [--out PATH]
 """
 
 import argparse
@@ -129,6 +135,7 @@ def nlmpc_anchor(n_loops: int) -> dict:
 
     solve_times = []
     nit_total = 0
+    n_success = 0
     for _ in range(n_loops):
         x = np.array([0.1, 0.1])
         z = np.zeros(nz)
@@ -144,6 +151,7 @@ def nlmpc_anchor(n_loops: int) -> dict:
             )
             solve_times.append(time.perf_counter() - t0)
             nit_total += res.nit
+            n_success += int(res.success)
             z = res.x
             u = z[ph * nx : ph * nx + 1]
             x = x + ts * fdyn(x, u)  # Euler plant step like the reference
@@ -158,7 +166,8 @@ def nlmpc_anchor(n_loops: int) -> dict:
         "solves_per_s": round(float(1.0 / st.mean()), 1),
         "n_solves": int(st.size),
         "slsqp_iters_mean": round(nit_total / st.size, 1),
-        "final_state_norm": float(np.max(np.abs(x))),
+        "success_frac": round(n_success / max(st.size, 1), 4),
+        "final_state_max_abs": float(np.max(np.abs(x))),
     }
 
 
@@ -209,12 +218,20 @@ def oscillators_anchor(n_steps: int) -> dict:
         Uall = np.vstack([U, U[-1]])
         return (0.5 - Uall).ravel()
 
+    # instance 0 of the TPU bench's inputs EXACTLY (bench._nlmpc_osc_bench:
+    # seed-13 rng draws x0 of shape (B, nx) then per-step 0.01*normal process
+    # noise of shape (K, B, nx); drawing at the bench's B and slicing row 0
+    # reproduces the identical stream), so the anchor's warm-started closed
+    # loop solves the same disturbed problem sequence the TPU bench does
+    bench_B = 256
     rng = np.random.default_rng(13)
-    x = rng.uniform(-0.5, 0.5, size=nx)  # bench.py's x0 distribution
+    x = rng.uniform(-0.5, 0.5, size=(bench_B, nx))[0]
+    noise = 0.01 * rng.normal(size=(n_steps, bench_B, nx))[:, 0]
     z = np.zeros(nz)
     solve_times = []
     nit_total = 0
-    for _ in range(n_steps):
+    n_success = 0
+    for step in range(n_steps):
         t0 = time.perf_counter()
         res = minimize(
             cost, z, args=(x,), method="SLSQP",
@@ -226,10 +243,13 @@ def oscillators_anchor(n_steps: int) -> dict:
         )
         solve_times.append(time.perf_counter() - t0)
         nit_total += res.nit
+        n_success += int(res.success)
         z = res.x
         u = z[ph * nx : ph * nx + nu]
-        x = x + ts * fdyn(x, u)
+        x = x + ts * fdyn(x, u) + noise[step]
     st = np.asarray(solve_times)
+    # a non-converged SLSQP solve would silently contaminate the anchor all
+    # vs_reference_cpu ratios divide by — record the verdict alongside
     return {
         "problem": ("networked oscillators NLMPC (nz=%d, ph=%d, ch=%d), "
                     "closed loop" % (nz, ph, ch)),
@@ -239,7 +259,8 @@ def oscillators_anchor(n_steps: int) -> dict:
         "solves_per_s": round(float(1.0 / st.mean()), 2),
         "n_solves": int(st.size),
         "slsqp_iters_mean": round(nit_total / st.size, 1),
-        "final_state_norm": float(np.max(np.abs(x))),
+        "success_frac": round(n_success / max(st.size, 1), 4),
+        "final_state_max_abs": float(np.max(np.abs(x))),
     }
 
 
@@ -266,6 +287,7 @@ def main():
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
+        fh.write("\n")
     print(json.dumps(out, indent=2))
 
 
