@@ -176,12 +176,21 @@ def main():
     cg = _golden_check(c, dims, dtype)
 
     env_int = lambda name, dflt: int(os.environ.get(name, dflt))
+    # measured f32 matmul ceiling: the roofline denominator of every
+    # pct_matmul_peak field (highest-precision f32 matmuls decompose into
+    # bf16 MXU passes, so nominal bf16 peak is unreachable by construction)
+    from libmpc_tpu.utils import flops as fl
+    matmul_peak = fl.measure_matmul_peak()
+
     closed_loop = _closed_loop_bench(
-        B=env_int("LIBMPC_CL_B", 16384), K=env_int("LIBMPC_CL_K", 16))
+        B=env_int("LIBMPC_CL_B", 16384), K=env_int("LIBMPC_CL_K", 16),
+        matmul_peak=matmul_peak)
     nlmpc_cl = _nlmpc_closed_loop_bench(
         B=env_int("LIBMPC_NL_CL_B", 4096), K=env_int("LIBMPC_NL_CL_K", 16))
     osc = _nlmpc_osc_bench(
         B=env_int("LIBMPC_OSC_B", 256), K=env_int("LIBMPC_OSC_K", 8))
+    ugv = _ugv_bench(B=env_int("LIBMPC_UGV_B", 1024),
+                     K=env_int("LIBMPC_UGV_K", 150))
 
     nlmpc_batch = env_int("LIBMPC_NL_B", 4096)
     nlmpc_rate, nlmpc_success = _nlmpc_bench(nlmpc_batch)
@@ -196,6 +205,15 @@ def main():
         if ref_rate:
             vs_ref = round(float(solves_per_s) / float(ref_rate), 1)
 
+    # useful-FLOP accounting of the headline row: ADMM iterations +
+    # termination checks at the measured mean iteration count (polish and
+    # assembly excluded -> the tflops figure is a lower bound on the
+    # sustained rate; model documented in libmpc_tpu/utils/flops.py)
+    it_mean = float(jnp.mean(iters))
+    flops_per_solve = fl.admm_solve_flops(
+        dims.nz, dims.m, it_mean, base_params.check_termination)
+    headline_tflops = flops_per_solve * solves_per_s / 1e12
+
     out = {
         "metric": "quadrotor_lmpc_batched_solves_per_s",
         "value": round(float(solves_per_s), 1),
@@ -205,8 +223,11 @@ def main():
         "batch": B,
         "step_latency_ms_mean": round(float(lat.mean() * 1e3), 3),
         "step_latency_ms_p99": round(float(np.quantile(lat, 0.99) * 1e3), 3),
-        "admm_iters_mean": round(float(jnp.mean(iters)), 1),
+        "admm_iters_mean": round(it_mean, 1),
         "cmd_max_abs_err_vs_golden": cg,
+        "tflops": round(headline_tflops, 3),
+        "pct_matmul_peak": round(100.0 * headline_tflops / matmul_peak, 2),
+        "matmul_peak_tflops_f32": round(matmul_peak, 2),
         "nlmpc_vdp_solves_per_s": nlmpc_rate,
         "nlmpc_success_frac": nlmpc_success,
         "nlmpc_batch": nlmpc_batch,
@@ -215,6 +236,7 @@ def main():
     out.update(closed_loop)
     out.update(nlmpc_cl)
     out.update(osc)
+    out.update(ugv)
     if _BACKEND_NOTE:
         out["backend_note"] = _BACKEND_NOTE
     print(json.dumps(out))
@@ -245,15 +267,31 @@ def _closed_loop_params():
     )
 
 
-def _closed_loop_bench(B: int = 16384, K: int = 16):
+def _closed_loop_bench(B: int = 16384, K: int = 16, matmul_peak=None):
     """Plant-coupled receding-horizon LMPC: the ENTIRE closed loop — solver
     and disturbed plant — runs on device as one lax.scan
     (libmpc_tpu/rollout.py), mirroring the reference's application pattern
     (examples/vanderpol_ex.cpp:76-85) at fleet scale.  Unlike the headline
     re-solve metric, every step solves a genuinely new problem: the state
-    moved and the plant injected noise."""
+    moved and the plant injected noise.
+
+    Accuracy is reported at two levels (round-4 diagnosis,
+    misc/diagnose_tail*.py):
+
+    * ``closed_loop_cmd_err_matched_*`` — the SOLVER's per-step accuracy:
+      a shadow rollout along the f64 oracle's own state trajectory, so
+      every step solves the identical problem the oracle solved.  This is
+      the gate that certifies f32 solve quality (p99 ~ 3e-6).
+    * ``closed_loop_cmd_*_err_vs_f64`` — free-trajectory divergence: the
+      f32 and f64 closed LOOPS drift apart because a ~1e-4-level cold-step
+      difference compounds through the marginally-damped plant; both
+      trajectories are valid closed-loop runs of the same controller (the
+      matched-state error proves the per-solve agreement), so this figure
+      measures plant sensitivity, not solver error.
+    """
     from __graft_entry__ import _quadrotor_model, _quadrotor_setup
     from libmpc_tpu.rollout import lmpc_rollout
+    from libmpc_tpu.utils import flops as fl
 
     dtype = jnp.float32
     c = _quadrotor_setup(dtype)
@@ -275,6 +313,10 @@ def _closed_loop_bench(B: int = 16384, K: int = 16):
     jax.block_until_ready(r.inputs)
     rate = B * K / (time.perf_counter() - t0)
     iters = np.asarray(r.iterations)  # (B, K)
+    params = c._params
+    cap = params.maximum_iteration
+    tfl = (fl.admm_solve_flops(c.dims.nz, c.dims.m, float(iters.mean()),
+                               params.check_termination) * rate / 1e12)
     out = {
         "closed_loop_solves_per_s": round(float(rate), 1),
         "closed_loop_batch": B,
@@ -285,13 +327,19 @@ def _closed_loop_bench(B: int = 16384, K: int = 16):
         "closed_loop_iters_mean_warm": round(float(iters[:, 1:].mean()), 1),
         "closed_loop_iters_p99_warm": round(
             float(np.quantile(iters[:, 1:], 0.99)), 1),
+        # fraction of warm instance-steps that ran to the iteration cap
+        # (the straggler tail; stall detection freezes floor-stalled
+        # instances with their SOLVED_INACCURATE verdict early)
+        "closed_loop_cap_frac_warm": round(
+            float(np.mean(iters[:, 1:] >= cap)), 5),
         "closed_loop_success_frac": round(
             float(np.mean(np.asarray(r.statuses) == 0)), 4),
+        "closed_loop_tflops": round(tfl, 3),
     }
+    if matmul_peak:
+        out["closed_loop_pct_matmul_peak"] = round(100.0 * tfl / matmul_peak, 2)
 
-    # golden-trajectory agreement: the same sub-batch closed loop vs the
-    # committed float64 oracle (misc/closed_loop_ref.py, tight-tolerance
-    # dense-polish f64 rollout on CPU)
+    # f64-oracle comparisons (misc/closed_loop_ref.py, B=1024 committed)
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "misc", "results", "closed_loop_ref_f64.npz")
     if os.path.exists(ref_path):
@@ -312,6 +360,29 @@ def _closed_loop_bench(B: int = 16384, K: int = 16):
         err = np.abs(np.asarray(r0.inputs) - ref["inputs"])
         out["closed_loop_cmd_max_err_vs_f64"] = round(float(err.max()), 8)
         out["closed_loop_cmd_mean_err_vs_f64"] = round(float(err.mean()), 8)
+        out["closed_loop_cmd_p99_err_vs_f64"] = round(
+            float(np.quantile(err, 0.99)), 8)
+
+        # matched-state shadow rollout: teleport the plant onto the
+        # oracle's trajectory so every step solves the oracle's problem
+        ostates = jnp.asarray(ref["states"], dtype)
+
+        def plant_shadow(x, u, k):
+            return ostates[:, k + 1]
+
+        cs = _quadrotor_setup(dtype)
+        cs.set_optimizer_parameters(_closed_loop_params())
+        rs = lmpc_rollout(cs, plant_shadow, ostates[:, 0],
+                          jnp.zeros((B0, 4), dtype), K0)
+        errm = np.abs(np.asarray(rs.inputs) - ref["inputs"]).max(axis=-1)
+        out["closed_loop_cmd_err_matched_mean"] = round(
+            float(errm[:, 1:].mean()), 9)
+        out["closed_loop_cmd_err_matched_p99"] = round(
+            float(np.quantile(errm[:, 1:], 0.99)), 9)
+        out["closed_loop_cmd_err_matched_max"] = round(
+            float(errm[:, 1:].max()), 8)
+        out["closed_loop_cmd_err_matched_cold_mean"] = round(
+            float(errm[:, 0].mean()), 8)
     return out
 
 
@@ -461,6 +532,9 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
     jax.block_until_ready(r.inputs)
     rate = B * K / (time.perf_counter() - t0)
     iters = np.asarray(r.iterations)
+    from libmpc_tpu.utils import flops as fl
+    tfl = (fl.sqp_iter_flops(ph, ch, nx, nu, (ph + 1) * nu)
+           * float(iters.mean()) * rate / 1e12)
     return {
         "nlmpc_osc_solves_per_s": round(float(rate), 1),
         "nlmpc_osc_batch": B,
@@ -469,7 +543,139 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
         "nlmpc_osc_iters_mean": round(float(iters.mean()), 2),
         "nlmpc_osc_success_frac": round(
             float(np.mean(np.asarray(r.statuses) == 0)), 4),
+        # banded-IPM FLOP model at the documented ~20 inner iterations
+        # (libmpc_tpu/utils/flops.py::sqp_iter_flops)
+        "nlmpc_osc_tflops_est": round(tfl, 4),
     }
+
+
+def _make_ugv(dtype, B):
+    """The reference's UGV configuration (examples/ugv_ex.cpp:47-136) as a
+    batched controller + on-device plant/params closures.  Shared between
+    the hardware bench and the f64 oracle generator
+    (misc/closed_loop_ref.py) so both solve the identical problem."""
+    from libmpc_tpu import NLMPC, NLParameters, discretization
+
+    n_obs = 2
+    ph = ch = 10
+    Ts = 0.1
+    A = np.zeros((4, 4))
+    A[0:2, 2:4] = np.eye(2)
+    Bm = np.zeros((4, 2))
+    Bm[2:4, 0:2] = np.eye(2)
+    Ad, Bd = map(np.asarray, discretization(A, Bm, Ts))
+    Adj, Bdj = jnp.asarray(Ad, dtype), jnp.asarray(Bd, dtype)
+    obstacles = jnp.asarray([[2.0, 1.0], [1.0, 1.0]], dtype)
+    radii = jnp.asarray([0.3, 0.3], dtype)
+    yref = jnp.asarray([2.0, 2.0], dtype)
+    speed = 1.0
+
+    c = NLMPC(4, 2, 4, ph, ch, (ph + 1) * n_obs, 0, dtype=dtype)
+    c.set_state_space_function(lambda x, u, k: Adj @ x + Bdj @ u)
+    c.set_output_function(lambda x, u, k: x)
+
+    def objective(X, Y, U, e, p):
+        v_err = X[:, 2:4] - p["v_pref"][None, :]
+        return 1e3 * jnp.sum(v_err**2) + 1e-2 * jnp.sum(U**2) + 1e-5 * e * e
+
+    def ineq(X, Y, U, e):
+        pos = X[:, 0:2]
+        d = jnp.sqrt(jnp.sum(
+            (pos[:, None, :] - obstacles[None, :, :]) ** 2, axis=-1))
+        return (radii[None, :] - d).reshape(-1)
+
+    c.set_objective_function(objective)
+    c.set_ineq_con_function(ineq)
+    c.set_runtime_params({"v_pref": jnp.zeros((B, 2), dtype)}, batched=True)
+    # relative_ftol: the nonconvex obstacle rows leave a few instances
+    # circling the strict KKT test for the full budget (measured f64:
+    # mean 12.4 iters with ftol vs a 100-iteration tail without, at
+    # unchanged trajectories); the reference's own SLSQP stops on its acc
+    # parameter the same way
+    c.set_optimizer_parameters(NLParameters(
+        maximum_iteration=100, hard_constraints=False,
+        enable_warm_start=True, inner_qp="fused",
+        hessian_reg="gershgorin", relative_ftol=1e-8))
+
+    def params_fn(x, k):
+        # renormalized velocity reference toward the goal, per instance
+        # (the reference's host loop, ugv_ex.cpp:143-151, on device)
+        v = yref[None, :] - x[:, 0:2]
+        nrm = jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        return {"v_pref": speed * v / nrm}
+
+    def plant(x, u, k):
+        return x @ Adj.T + u @ Bdj.T
+
+    # perturbed starts around the origin (the reference starts at 0);
+    # first-rows slices of the rng stream coincide across batch sizes
+    rng = np.random.default_rng(21)
+    x0 = jnp.asarray(
+        np.concatenate([0.2 * rng.normal(size=(B, 2)),
+                        np.zeros((B, 2))], axis=1), dtype)
+    return c, plant, params_fn, x0, obstacles, radii, yref
+
+
+def _ugv_bench(B: int = 1024, K: int = 150):
+    """UGV obstacle avoidance on hardware (round-4 task #5): the
+    reference's third example (examples/ugv_ex.cpp:98-166) as a
+    plant-coupled batched closed loop — 2 circular obstacles, nonconvex
+    ``r - ||p - p_obs|| <= 0`` rows, soft constraints, and the per-step
+    renormalized velocity reference flowing through the runtime-parameter
+    channel, recomputed ON DEVICE from the current state each step
+    (rollout ``params_fn``).  Success = goal reached without entering an
+    obstacle."""
+    from libmpc_tpu.rollout import nlmpc_rollout
+
+    dtype = jnp.float32
+    c, plant, params_fn, x0, obstacles, radii, yref = _make_ugv(dtype, B)
+    u0 = jnp.zeros((B, 2), dtype)
+    r = nlmpc_rollout(c, plant, x0, u0, K, params_fn=params_fn)
+    jax.block_until_ready(r.inputs)
+    t0 = time.perf_counter()
+    r = nlmpc_rollout(c, plant, x0, u0, K, params_fn=params_fn)
+    jax.block_until_ready(r.inputs)
+    rate = B * K / (time.perf_counter() - t0)
+
+    states = np.asarray(r.states)  # (B, K+1, 4)
+    pos = states[:, :, 0:2]
+    goal_dist = np.linalg.norm(pos[:, -1] - np.asarray(yref), axis=-1)
+    dmin = np.linalg.norm(
+        pos[:, :, None, :] - np.asarray(obstacles)[None, None], axis=-1
+    ).min(axis=(1, 2))
+    # closest allowed approach: the soft-constrained optimum grazes the
+    # boundary; anything >= r - 1e-2 counts as avoided (cpp example checks
+    # goal attainment only, ugv_ex.cpp:166)
+    avoided = dmin >= float(radii[0]) - 1e-2
+    iters = np.asarray(r.iterations)
+    out = {
+        "ugv_solves_per_s": round(float(rate), 1),
+        "ugv_batch": B,
+        "ugv_steps": K,
+        "ugv_goal_frac": round(float(np.mean(goal_dist < 0.05)), 4),
+        "ugv_avoid_frac": round(float(np.mean(avoided)), 4),
+        "ugv_success_frac": round(
+            float(np.mean(np.asarray(r.statuses) == 0)), 4),
+        "ugv_iters_mean": round(float(iters.mean()), 2),
+    }
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "misc", "results", "ugv_closed_loop_ref_f64.npz")
+    if os.path.exists(ref_path):
+        ref = np.load(ref_path)
+        B0, K0 = int(ref["B"]), int(ref["K"])
+        c0, plant0, pf0, x00, *_ = _make_ugv(dtype, B0)
+        r0 = nlmpc_rollout(c0, plant0, x00, jnp.zeros((B0, 2), dtype), K0,
+                           params_fn=pf0)
+        err = np.abs(np.asarray(r0.inputs) - ref["inputs"]).max(axis=-1)
+        if "statuses" in ref.files:
+            # mask steps where the f64 oracle itself hit MAX_ITERATION
+            # (a handful of nonconvex cold solves) — no reference there
+            err = err[np.asarray(ref["statuses"]) == 0]
+        out["ugv_cmd_max_err_vs_f64"] = round(float(err.max()), 8)
+        out["ugv_cmd_mean_err_vs_f64"] = round(float(err.mean()), 8)
+        out["ugv_cmd_p99_err_vs_f64"] = round(
+            float(np.quantile(err, 0.99)), 8)
+    return out
 
 
 def _nlmpc_bench(B: int = 4096):

@@ -152,6 +152,9 @@ def _solve_body_hp(
         warm_y=jnp.where(have_warm, warm_y, 0.0) if use_warm else None,
         iter_budget=iter_budget,
         prepared=prep,
+        # the flag (not just zeroed arrays) reaches the solver so the
+        # cold path can take the KKT seed (params.cold_start)
+        have_warm=have_warm if use_warm else None,
     )
 
     states, inputs, outputs = qp.unpack_solution(dims, prob, sol.x, u_meas)

@@ -316,7 +316,29 @@ class NLMPC:
     # ------------------------------------------------------------------
     def _invalidate(self):
         self._solve_fn = None
+        self._traj_plan = None, False  # (plan, probed?)
         self._budgeter.reset()  # new compiled program -> new calibration
+
+    def _get_traj_plan(self):
+        """Probe-once cache of the trajectory-structure plan
+        (ops/trajectory_kkt.make_plan): enables the banded inner-QP engine
+        when the NLP's sparsity is verified stage-local.  Invalidated by
+        every setter that can change the structure."""
+        plan, probed = getattr(self, "_traj_plan", (None, False))
+        if probed:
+            return plan
+        from ..ops import trajectory_kkt
+
+        p = self._runtime_params
+        if self._runtime_params_batched and p is not None:
+            # probe with a single instance's parameters
+            p = jax.tree.map(lambda a: jnp.asarray(a)[0], p)
+        plan = trajectory_kkt.make_plan(
+            self.dims, self._fns, self._state_scaling, self._input_scaling,
+            self._params.hessian_reg, self.dtype, p=p,
+        )
+        self._traj_plan = plan, True
+        return plan
 
     def _make_solve_one(self):
         """Single-instance solve closure (z_prev, use_prev, x0, u0, slack0)
@@ -334,6 +356,7 @@ class NLMPC:
                 "NLMPC requires a state-space function and an objective "
                 "function before optimize()"
             )
+        traj_plan = self._get_traj_plan()
 
         def solve_one(z_prev, use_prev, x0, u0, slack0, p, lb, ub,
                       iter_budget=None):
@@ -356,7 +379,7 @@ class NLMPC:
 
             sol = sqp.sqp_solve(
                 f_fn, ceq_fn, cin_fn, z, lb, ub, params,
-                iter_budget=iter_budget,
+                iter_budget=iter_budget, traj_plan=traj_plan,
             )
 
             X, U, slack = nlp.unwrap(dims, sol.z, x0, ss, us)
@@ -379,6 +402,7 @@ class NLMPC:
         params = self._params
         ineq_tol = self._ineq_tol
         eq_tol = self._eq_tol
+        traj_plan = self._get_traj_plan()
 
         def make_fns(x0, p):
             f_fn = lambda zz: nlp.objective(dims, fns, ss, us, zz, x0, p)
@@ -409,6 +433,7 @@ class NLMPC:
             return sqp.sqp_solve(
                 f_fn, ceq_fn, cin_fn, z, lb, ub, params,
                 it_hi=jnp.asarray(0, jnp.int32), return_carry=True,
+                traj_plan=traj_plan,
             )
 
         def chunk(carry, z, x0, p, lb, ub, budget, hi):
@@ -416,7 +441,7 @@ class NLMPC:
             return sqp.sqp_solve(
                 f_fn, ceq_fn, cin_fn, z, lb, ub, params,
                 iter_budget=budget, carry_in=carry, it_hi=hi,
-                return_carry=True,
+                return_carry=True, traj_plan=traj_plan,
             )
 
         def finish(carry, z, x0, p, lb, ub, budget):
@@ -424,7 +449,7 @@ class NLMPC:
             sol = sqp.sqp_solve(
                 f_fn, ceq_fn, cin_fn, z, lb, ub, params,
                 iter_budget=budget, carry_in=carry,
-                it_hi=jnp.asarray(0, jnp.int32),
+                it_hi=jnp.asarray(0, jnp.int32), traj_plan=traj_plan,
             )
             X, U, slack = nlp.unwrap(dims, sol.z, x0, ss, us)
             Y = nlp.get_output(dims, fns, X, U, p)

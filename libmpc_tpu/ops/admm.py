@@ -345,6 +345,9 @@ class _LoopState(NamedTuple):
     # refreshed at every periodic check for still-active instances
     # (OSQP osqp_solve: on max_iter the last iterate is re-checked with
     # relaxed tolerances to emit *_INACCURATE statuses)
+    pri_chk: jax.Array  # (B,) residuals at the previous check — stall
+    dua_chk: jax.Array  # detection state (params.stall_checks)
+    stall_ct: jax.Array  # (B,) consecutive no-improvement checks
     rho: jax.Array  # scalar, shared across batch
     M: jax.Array
     Minv: jax.Array
@@ -399,6 +402,9 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         pri_res=jnp.full((B,), jnp.inf, dtype),
         dua_res=jnp.full((B,), jnp.inf, dtype),
         inacc_status=jnp.full((B,), OSQP_MAX_ITER_REACHED, jnp.int32),
+        pri_chk=jnp.full((B,), jnp.inf, dtype),
+        dua_chk=jnp.full((B,), jnp.inf, dtype),
+        stall_ct=jnp.zeros((B,), jnp.int32),
         rho=rho_init,
         M=M0,
         Minv=Minv0,
@@ -556,16 +562,49 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         ).astype(jnp.int32)
 
         newly = ~state.done
+        # -- straggler stall detection ------------------------------------
+        # float32 runs leave ~1% of instances at a residual noise floor
+        # just above eps: they would burn every remaining iteration and
+        # report OSQP_SOLVED_INACCURATE at the cap (measured: the same
+        # instances still unconverged at a 1000-iteration cap).  When the
+        # residuals have improved by <1% for `stall_checks` consecutive
+        # checks AND the 100x-relaxed verdict already passes, freeze NOW
+        # with that exact verdict — the identical status and (polish-
+        # repaired) solution the cap exit would produce, minus the wasted
+        # iterations.  Disabled with stall_checks=0 for strict OSQP
+        # iteration parity.
+        if params.stall_checks > 0:
+            improved = (pri <= 0.99 * state.pri_chk) | (
+                dua <= 0.99 * state.dua_chk
+            )
+            stall_ct = jnp.where(
+                newly, jnp.where(improved, 0, state.stall_ct + 1),
+                state.stall_ct,
+            )
+            stalled = (
+                newly
+                & ~(solved | prim_inf | dual_inf)
+                & (stall_ct >= params.stall_checks)
+                & solved_inacc
+            )
+        else:
+            stall_ct = state.stall_ct
+            stalled = jnp.zeros_like(newly) & False
+
         status = jnp.where(
             newly & solved,
             OSQP_SOLVED,
             jnp.where(
                 newly & prim_inf,
                 OSQP_PRIMAL_INFEASIBLE,
-                jnp.where(newly & dual_inf, OSQP_DUAL_INFEASIBLE, state.status),
+                jnp.where(
+                    newly & dual_inf,
+                    OSQP_DUAL_INFEASIBLE,
+                    jnp.where(stalled, OSQP_SOLVED_INACCURATE, state.status),
+                ),
             ),
         )
-        done = state.done | solved | prim_inf | dual_inf
+        done = state.done | solved | prim_inf | dual_inf | stalled
 
         # -- adaptive rho (shared across batch to keep one shared factor) -
         if params.adaptive_rho:
@@ -622,6 +661,9 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             pri_res=jnp.where(newly, pri, state.pri_res),
             dua_res=jnp.where(newly, dua, state.dua_res),
             inacc_status=jnp.where(newly, inacc, state.inacc_status),
+            pri_chk=jnp.where(newly, pri, state.pri_chk),
+            dua_chk=jnp.where(newly, dua, state.dua_chk),
+            stall_ct=stall_ct,
             rho=rho_new,
             M=M_new,
             Minv=Minv_new,
@@ -722,6 +764,8 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 status=take(state.status), pri_res=take(state.pri_res),
                 dua_res=take(state.dua_res),
                 inacc_status=take(state.inacc_status),
+                pri_chk=take(state.pri_chk), dua_chk=take(state.dua_chk),
+                stall_ct=take(state.stall_ct),
             )
             qs_c, ls_c, us_c = take(qs), take(ls), take(us)
 
@@ -742,6 +786,9 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 pri_res=put(state.pri_res, sub.pri_res),
                 dua_res=put(state.dua_res, sub.dua_res),
                 inacc_status=put(state.inacc_status, sub.inacc_status),
+                pri_chk=put(state.pri_chk, sub.pri_chk),
+                dua_chk=put(state.dua_chk, sub.dua_chk),
+                stall_ct=put(state.stall_ct, sub.stall_ct),
                 rho=sub.rho, M=sub.M, Minv=sub.Minv, stop=sub.stop,
             )
             return state, k2
@@ -1077,6 +1124,7 @@ def admm_solve(
     prepared: Optional[PreparedQP] = None,
     axis_rows: Optional[str] = None,
     axis_batch: Optional[str] = None,
+    have_warm: Optional[jax.Array] = None,
 ) -> QPSolution:
     """Solve a batch of QPs sharing (P, A) structure.
 
@@ -1099,6 +1147,10 @@ def admm_solve(
       iter_budget: optional *traced* iteration cap implementing the
         ``time_limit`` contract; unconverged instances stopped by it report
         ``OSQP_TIME_LIMIT_REACHED``.  ``None`` means unlimited.
+      have_warm: optional traced bool (scalar or (B,)): False selects the
+        cold-start path (KKT seed under ``params.cold_start == "kkt"``)
+        even when warm arrays are supplied — for callers that collapse
+        "no warm state yet" into zero-filled warm arrays.
 
     Returns a :class:`QPSolution` with a leading batch axis (squeezed back if
     the inputs were unbatched).
@@ -1110,13 +1162,13 @@ def admm_solve(
     with jax.default_matmul_precision("highest"):
         return _admm_solve_hp(
             P, A, q, l, u, params, warm_x, warm_y, eq_mask, iter_budget,
-            prepared, axis_rows, axis_batch,
+            prepared, axis_rows, axis_batch, have_warm,
         )
 
 
 def _admm_solve_hp(
     P, A, q, l, u, params, warm_x, warm_y, eq_mask, iter_budget=None,
-    prepared=None, axis_rows=None, axis_batch=None,
+    prepared=None, axis_rows=None, axis_batch=None, have_warm=None,
 ) -> QPSolution:
     unbatched = q.ndim == 1
     if unbatched:
@@ -1159,11 +1211,44 @@ def _admm_solve_hp(
     ls = jnp.where(l <= -INF_BOUND, l, l * e[None, :])
     us = jnp.where(u >= INF_BOUND, u, u * e[None, :])
 
-    if warm_x is not None and params.enable_warm_start:
-        x0 = warm_x / d[None, :]
-        y0 = (jnp.zeros((B, m), dtype) if warm_y is None else warm_y / e[None, :] * c)
+    if params.cold_start == "kkt":
+        # seed the cold start at the minimizer of the rho-weighted
+        # equality-anchored quadratic model: one ADMM x-update evaluated at
+        # z = clip(0, l, u) (which IS the equality RHS on equality rows),
+        # y = 0 — a single matmul against the already-prepared KKT inverse.
+        # Measured on the quadrotor closed loop: the cold solve's ~220
+        # iterations drop to the warm regime's level (misc/tpu_sweep.py
+        # cold_start section).
+        rho_vec0 = _rho_vec_of(
+            jnp.clip(jnp.asarray(params.rho, dtype),
+                     *_rho_bounds(dtype, params)[1:]),
+            eq_mask, loose_mask,
+        )
+        z_t = jnp.clip(0.0, ls, us)
+        x_seed = ((rho_vec0 * z_t) @ As - qs) @ prepared.Minv0
     else:
-        x0 = jnp.zeros((B, n), dtype)
+        x_seed = jnp.zeros((B, n), dtype)
+
+    if warm_x is not None and params.enable_warm_start:
+        if have_warm is None:
+            x0 = warm_x / d[None, :]
+            y0 = (jnp.zeros((B, m), dtype) if warm_y is None
+                  else warm_y / e[None, :] * c)
+        else:
+            # traced warm/cold selection: callers that collapse "no warm
+            # state yet" into zero arrays pass the flag so the cold branch
+            # still gets the KKT seed
+            hw = jnp.asarray(have_warm)
+            hw2 = hw[..., None] if hw.ndim else hw
+            x0 = jnp.where(hw2, warm_x / d[None, :], x_seed)
+            y0 = jnp.where(
+                hw2,
+                (jnp.zeros((B, m), dtype) if warm_y is None
+                 else warm_y / e[None, :] * c),
+                0.0,
+            )
+    else:
+        x0 = x_seed
         y0 = jnp.zeros((B, m), dtype)
 
     if iter_budget is None:

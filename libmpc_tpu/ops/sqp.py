@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..types import LParameters, NLParameters
-from . import admm, batched_linalg, pdip, qp_inner_pallas
+from . import admm, batched_linalg, pdip, qp_inner_pallas, trajectory_kkt
 
 # -- nlopt result values (nlopt.hpp) ----------------------------------------
 NLOPT_FAILURE = -1
@@ -151,6 +151,7 @@ def sqp_solve(
     carry_in=None,
     it_hi: Optional[jax.Array] = None,
     return_carry: bool = False,
+    traj_plan: Optional[trajectory_kkt.TrajPlan] = None,
 ):
     """Solve  min f(z)  s.t.  ceq(z)=0, cin(z)<=0, lb<=z<=ub  from z0.
 
@@ -179,12 +180,13 @@ def sqp_solve(
         return _sqp_solve_hp(
             f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget,
             carry_in=carry_in, it_hi=it_hi, return_carry=return_carry,
+            traj_plan=traj_plan,
         )
 
 
 def _sqp_solve_hp(
     f_fn, ceq_fn, cin_fn, z0, lb, ub, params, iter_budget=None,
-    carry_in=None, it_hi=None, return_carry=False,
+    carry_in=None, it_hi=None, return_carry=False, traj_plan=None,
 ):
     nz = z0.shape[0]
     dtype = z0.dtype
@@ -224,16 +226,40 @@ def _sqp_solve_hp(
     fused_req = params.inner_qp == "fused"
     size_ok = qp_inner_pallas.supported(nz, m_qp)
     use_fused = fused_req and f32 and backend_ok and size_ok
+    # trajectory-structured engine (ops/trajectory_kkt.py): IPM whose
+    # Newton systems solve by a bordered block-tridiagonal LDL^T over the
+    # horizon — O(ph*(2nx+nu)^3) per factorization instead of the dense
+    # O(nz^3).  Available when the controller verified the NLP's banded
+    # structure (traj_plan), the curvature mode preserves it (eigh fills
+    # in V W V'; bfgs is dense by construction), and the problem shapes
+    # match the plan.  Selected explicitly (inner_qp="riccati") or as the
+    # fallback for an oversize "fused" request — measured on TPU v5e at
+    # nz=301 (networked oscillators): the inner-ADMM fallback spent 818 ms
+    # per inner solve (~500 lockstep iterations of dense matmuls,
+    # misc/profile_osc.py); the banded IPM does ~20 iterations of
+    # stage-recursion sweeps.
+    plan_ok = (
+        traj_plan is not None
+        and params.hessian_reg in ("gauss_newton", "gershgorin", "power")
+        and me == traj_plan.ph * traj_plan.nx
+        and mi == traj_plan.mi
+        and nz == traj_plan.nz
+    )
+    use_traj = plan_ok and (
+        params.inner_qp == "riccati" or (fused_req and not use_fused)
+    )
     # fallback routing for an unusable fused request:
     # - f64 / non-TPU accelerator: accuracy-driven -> interior-point (an
     #   f32 inner direction cannot drive the outer loop to 1e-7
     #   stationarity);
-    # - f32 but past the VMEM size gate: throughput-driven -> inner ADMM
-    #   (one KKT inverse per SQP iteration instead of one per IPM
-    #   iteration; measured on TPU v5e at nz=301: 116 vs 83 solves/s
-    #   warm re-solve at equal success).
-    use_pdip = params.inner_qp == "pdip" or (
-        fused_req and not use_fused and not (f32 and backend_ok)
+    # - f32 but past the VMEM size gate, no banded plan: inner ADMM (one
+    #   KKT inverse per SQP iteration instead of one per IPM iteration;
+    #   measured on TPU v5e at nz=301: 116 vs 83 solves/s warm re-solve
+    #   at equal success).
+    use_pdip = not use_traj and (
+        params.inner_qp == "pdip"
+        or params.inner_qp == "riccati"  # requested but no verified plan
+        or (fused_req and not use_fused and not (f32 and backend_ok))
     )
     qp_par = _qp_params(f32)
     if use_fused:
@@ -427,7 +453,39 @@ def _sqp_solve_hp(
 
         # -- QP subproblem:  min 1/2 d'Bd + g'd
         #    s.t. Je d = -ce ; Ji d <= -ci ; lb-z <= d <= ub-z ---------------
-        if use_pdip:
+        if use_traj:
+            # banded-KKT interior point: the same elastic-relaxed Mehrotra
+            # IPM as the pdip engine (verified identical to machine
+            # precision, tests/test_trajectory_kkt.py), with every Newton
+            # system solved by the stage recursion instead of dense
+            # inverses.  Box bounds stay implicit (diagonal barrier
+            # weights), so no (2nz, nz) identity rows are materialized.
+            ci_pos = jnp.maximum(ci, 0.0)
+            dual_scale = (
+                jnp.max(jnp.concatenate([
+                    jnp.abs(s.lam_e), jnp.abs(s.lam_i),
+                    s.mu_e, s.mu_i, jnp.ones((1,), dtype),
+                ]))
+            )
+            rho_q = (1e4 if f32 else 1e8) * dual_scale * (
+                1.0 + jnp.sum(jnp.abs(ce)) + jnp.sum(ci_pos)
+            )
+            ip = trajectory_kkt.ipm_solve(
+                traj_plan, B, g, Je, ce, Ji, ci,
+                lb - s.z, ub - s.z, rho_q,
+                n_iters=30, eps=1e-7 if f32 else 1e-10,
+            )
+            ip_ok = (
+                jnp.all(jnp.isfinite(ip.d))
+                & jnp.all(jnp.isfinite(ip.nu))
+                & jnp.all(jnp.isfinite(ip.lam))
+            )
+            d = jnp.where(ip_ok, ip.d, 0.0)
+            lam_e = jnp.where(ip_ok, ip.nu, s.lam_e)
+            lam_i = jnp.where(ip_ok, ip.lam, s.lam_i)
+            qp_x_new = d
+            qp_y_new = s.qp_y
+        elif use_pdip:
             # interior-point engine: box bounds folded into inequality rows
             # (+-identity), infinite bounds masked out of the barrier.
             #

@@ -100,12 +100,20 @@ def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Ro
     return _pack(x_fin, xs, us, costs, sts, its, batch)
 
 
-def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Rollout:
+def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
+                  params_fn: Callable = None) -> Rollout:
     """Run ``n_steps`` closed-loop NLMPC steps fully on device.
 
     The receding-horizon warm start (shifted previous solution + carried
     slack) lives in the scan carry, exactly like the reference carries
     ``opt_vector`` across optimize calls (NLOptimizer.hpp:426-510).
+
+    ``params_fn(x, k) -> p`` optionally recomputes the runtime-parameter
+    pytree from the current (batched) plant state each step — the on-device
+    analog of the reference's host loop updating captured data before every
+    optimize (e.g. the UGV example's renormalized velocity reference,
+    examples/ugv_ex.cpp:143-151).  Its output must match the structure set
+    via ``set_runtime_params`` (batched when the rollout is batched).
     """
     c = controller
     dims = c.dims
@@ -115,14 +123,15 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> R
     rt = c._runtime_params
     lb, ub, b_batched = c._bounds_args()
 
-    key = ("nlmpc", plant_fn, n_steps, batch, c._params, c._fns, b_batched,
-           c._runtime_params_batched,
+    key = ("nlmpc", plant_fn, params_fn, n_steps, batch, c._params, c._fns,
+           b_batched, c._runtime_params_batched or params_fn is not None,
            id(c._state_scaling), id(c._input_scaling))
     cache = _runner_cache(c)
     run = cache.get(key)
     if run is None:
         solve_one = c._make_solve_one()
-        p_axis = 0 if c._runtime_params_batched else None
+        p_axis = 0 if (c._runtime_params_batched or
+                       (params_fn is not None and batch)) else None
         b_axis = 0 if b_batched else None
         solve = (
             jax.vmap(solve_one,
@@ -138,7 +147,8 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> R
 
             def step(carry, k):
                 x, u, z, slack, hw = carry
-                sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, p, lb, ub)
+                pk = params_fn(x, k) if params_fn is not None else p
+                sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, pk, lb, ub)
                 result, seq = c._pack_result(sol, X, U, Y, feas, u)
                 x_next = plant_fn(x, result.cmd, k)
                 out = (x, result.cmd, result.cost, result.status, sol.iters)

@@ -150,6 +150,25 @@ class LParameters(Parameters):
     # a small batch and iterate only that (identical per-row math and
     # check cadence; single-chip batched path, batch >= 256)
     compact_stragglers: bool = True
+    # straggler stall detection (TPU-native extension): an instance whose
+    # primal AND dual residuals have improved by less than 1% for this many
+    # consecutive termination checks, while already passing OSQP's
+    # 100x-relaxed final check, freezes immediately with the exact status a
+    # maximum_iteration exit would report (OSQP_SOLVED_INACCURATE).  In
+    # float32 ~1% of warm closed-loop instances sit at the residual noise
+    # floor just above eps and would otherwise burn every remaining
+    # iteration without changing their (polish-repaired) answer — measured
+    # round 4: same 1.1% of instances still unconverged at a 1000-iteration
+    # cap, with matched-state command error 3.8e-5 (misc/diagnose_tail*.py).
+    # 0 disables (exact OSQP iteration-for-iteration parity).
+    stall_checks: int = 3
+    # cold-start initialization (TPU-native extension): "kkt" seeds a solve
+    # with no warm start at the minimizer of the rho-weighted equality-
+    # anchored quadratic model, x0 = M^-1 (A'R clip(0,l,u) - q) — one extra
+    # matmul against the already-prepared KKT inverse; "zeros" starts at
+    # the origin like OSQP.  Only the unconverged-iterate path changes;
+    # converged results are identical.
+    cold_start: str = "kkt"
     # advance the warm start one stage along the horizon before each solve
     # (receding-horizon realignment; lmpc/problem.py::shift_warm_start).
     # The reference reuses the previous solution unshifted

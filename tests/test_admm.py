@@ -322,9 +322,13 @@ class TestMaxIterInaccurateStatuses:
     starved solve to reach."""
 
     def _base(self, **kw):
+        # OSQP iteration-for-iteration parity settings: zero cold start and
+        # no stall detection, so the staged maximum_iteration expectations
+        # below see exactly OSQP's iterate trajectory
         return LParameters(
             polish=False, check_termination=1, use_pallas=False,
-            compact_stragglers=False, eps_abs=1e-12, eps_rel=1e-12, **kw)
+            compact_stragglers=False, eps_abs=1e-12, eps_rel=1e-12,
+            cold_start="zeros", stall_checks=0, **kw)
 
     def test_solved_inaccurate_uses_relative_criterion(self):
         """Residuals within 100x of the RELATIVE tolerance at max-iter ->
@@ -335,7 +339,8 @@ class TestMaxIterInaccurateStatuses:
         l = jnp.array([[1.0, 0.0, 0.0]])
         u = jnp.array([[1.0, 0.7, 0.7]])
         base = dict(polish=False, check_termination=5, use_pallas=False,
-                    compact_stragglers=False)
+                    compact_stragglers=False, cold_start="zeros",
+                    stall_checks=0)
         # converge exactly at eps=1e-10 to learn the iteration count
         ref = admm.admm_solve(P, A, q, l, u, LParameters(
             maximum_iteration=4000, eps_abs=1e-10, eps_rel=1e-10, **base))
