@@ -573,7 +573,12 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
         # repaired) solution the cap exit would produce, minus the wasted
         # iterations.  Disabled with stall_checks=0 for strict OSQP
         # iteration parity.
-        if params.stall_checks > 0:
+        # f32 only: the detector exists to cut the float32 residual-floor
+        # tail; f64 runs have no floor, and on degenerate problems (e.g. a
+        # zero-weight pure-feasibility QP) small residuals do not bound the
+        # distance to the solution, so an early freeze there trades real
+        # accuracy for nothing
+        if params.stall_checks > 0 and f32:
             improved = (pri <= 0.99 * state.pri_chk) | (
                 dua <= 0.99 * state.dua_chk
             )
@@ -581,11 +586,19 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
                 newly, jnp.where(improved, 0, state.stall_ct + 1),
                 state.stall_ct,
             )
+            # freeze only inside a TIGHT (10x) band around the tolerance:
+            # the f32 floor-stalled instances sit a small factor above eps
+            # (measured p50 ~3x), while a hard-but-converging problem can
+            # plateau for several checks at a genuinely bad iterate that
+            # still passes the official 100x relaxed verdict (observed on
+            # the zero-weight terminal-constraint QP: a 0.3 state error
+            # inside the 100x band) — the 10x gate separates the two
+            solved_near = (pri <= 10.0 * eps_pri) & (dua <= 10.0 * eps_dua)
             stalled = (
                 newly
                 & ~(solved | prim_inf | dual_inf)
                 & (stall_ct >= params.stall_checks)
-                & solved_inacc
+                & solved_near
             )
         else:
             stall_ct = state.stall_ct

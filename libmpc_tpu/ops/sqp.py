@@ -327,6 +327,7 @@ def _sqp_solve_hp(
         have_scaled=jnp.asarray(False),
     )
 
+    gn_blocks = None
     if use_gn:
         # Gauss-Newton curvature: the OBJECTIVE Hessian only, constraint
         # curvature dropped — the classic real-time-iteration model for MPC,
@@ -346,6 +347,13 @@ def _sqp_solve_hp(
         # curvature and preserves the per-instance iteration sequence.
         Hf = jax.hessian(f_fn)(z0)
         B_gn = _gershgorin_convexify(0.5 * (Hf + Hf.T), nz, dtype)
+        # banded engine: the stage-block extraction of the CONSTANT
+        # curvature matrix hoists out of the SQP loop entirely (done here,
+        # once per solve; ipm_solve would otherwise re-gather it every
+        # iteration — XLA does not hoist across its while loop)
+        gn_blocks = (
+            trajectory_kkt._h_blocks(traj_plan, B_gn) if use_traj else None
+        )
 
     def body(s: Carry) -> Carry:
         f, g = grad_f(s.z)
@@ -473,7 +481,24 @@ def _sqp_solve_hp(
             ip = trajectory_kkt.ipm_solve(
                 traj_plan, B, g, Je, ce, Ji, ci,
                 lb - s.z, ub - s.z, rho_q,
-                n_iters=30, eps=1e-7 if f32 else 1e-10,
+                # 45 iterations bounds the slowly-improving ~1% tail
+                # whose half-converged directions otherwise fail the line
+                # search repeatedly (A/B: flat 30 -> 461 solves/s at 0.991
+                # success on the nz=301 oscillator bench; flat 45 -> 339
+                # at 0.999); the per-lane stall freeze inside ipm_solve
+                # lets healthy lanes retire at their ~22-30 plateau so the
+                # lockstep batch rarely pays the full cap
+                n_iters=45,
+                eps=1e-7 if f32 else 1e-10,
+                h_blocks=gn_blocks if use_gn else None,
+                # NO dual warm start: carrying the previous subproblem's
+                # clamped duals was measured SLOWER end-to-end (224 -> 151
+                # closed-loop solves/s on the nz=301 oscillator bench) —
+                # the non-central start degrades the Mehrotra steps and
+                # the resulting directions cost extra SQP iterations
+                # (5.3 -> 6.7 mean).  ipm_solve's warm_y hook remains for
+                # problem families where it pays.
+                warm_y=None,
             )
             ip_ok = (
                 jnp.all(jnp.isfinite(ip.d))
@@ -658,8 +683,14 @@ def _sqp_solve_hp(
 
             x_cg = jnp.zeros((me,), dtype)
             r0 = ce_full
+            # 16 iterations (was 40): the SOC is a line-search trial
+            # candidate, not the step — a ~1e-2-relative least-norm
+            # correction already removes the curvature-induced residual
+            # well enough to pass Armijo, and the 40-iteration chain was
+            # pure sequential latency per SQP iteration (each CG step is
+            # two (me, nz) matvecs that cannot overlap)
             x_cg, _, _, _ = jax.lax.fori_loop(
-                0, 40, _cg_body, (x_cg, r0, r0, jnp.dot(r0, r0))
+                0, 16, _cg_body, (x_cg, r0, r0, jnp.dot(r0, r0))
             )
             soc_corr = x_cg
         d_soc = d - Je.T @ soc_corr

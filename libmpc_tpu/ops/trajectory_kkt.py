@@ -366,7 +366,7 @@ class TrajFactors(NamedTuple):
     Ghat_inv: jax.Array  # (w, w) inverse of the border Schur complement
 
 
-def traj_factor(plan: TrajPlan, D, L, C, G) -> TrajFactors:
+def _traj_factor_seq(plan: TrajPlan, D, L, C, G) -> TrajFactors:
     """Factor the bordered block-tridiagonal quasi-definite KKT matrix.
 
     One forward elimination over the ph stages (sequential — the classic
@@ -407,8 +407,60 @@ def traj_factor(plan: TrajPlan, D, L, C, G) -> TrajFactors:
     )
 
 
-def traj_solve(plan: TrajPlan, f: TrajFactors, r_stage, r_g):
-    """Solve the factored system for one right-hand side.
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _factor_cv_for(plan: TrajPlan):
+    """custom_vmap dispatcher for :func:`traj_factor`: per-instance code is
+    the sequential stage elimination; under ``vmap`` the whole batch routes
+    to the fused Pallas factor kernel (ops/trajectory_sweeps.py) — the
+    ~8 XLA ops per stage (each a ~8 us dispatch inside the IPM loop)
+    collapse into two kernel launches."""
+    from . import trajectory_sweeps
+
+    @jax.custom_batching.custom_vmap
+    def factor(D, L, C, G):
+        f = _traj_factor_seq(plan, D, L, C, G)
+        return f.Sinv, f.L, f.X, f.Ghat_inv
+
+    @factor.def_vmap
+    def _factor_vmap(axis_size, in_batched, D, L, C, G):
+        args = [
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip((D, L, C, G), in_batched)
+        ]
+        D, L, C, G = args
+        if (
+            jax.default_backend() == "tpu"
+            and D.dtype == jnp.float32
+            and trajectory_sweeps.factor_supported(plan.ph, plan.bs, plan.w)
+        ):
+            Sinv, X, Ghat = trajectory_sweeps.batched_factor(
+                D, L, C, G, plan.bs_p
+            )
+            Ghat_inv = batched_linalg.chol_inverse(
+                0.5 * (Ghat + jnp.swapaxes(Ghat, -1, -2))
+            )
+            out = (Sinv, L, X, Ghat_inv)
+        else:
+            out = jax.vmap(
+                lambda d, l, c, g: tuple(_traj_factor_seq(plan, d, l, c, g))
+            )(D, L, C, G)
+        return out, (True, True, True, True)
+
+    return factor
+
+
+def traj_factor(plan: TrajPlan, D, L, C, G) -> TrajFactors:
+    """Factor the bordered block-tridiagonal KKT matrix (batched under
+    vmap via the fused Pallas factor kernel; see :func:`_factor_cv_for`)."""
+    Sinv, L2, X, Ghat_inv = _factor_cv_for(plan)(D, L, C, G)
+    return TrajFactors(Sinv=Sinv, L=L2, X=X, Ghat_inv=Ghat_inv)
+
+
+def _traj_solve_seq(plan: TrajPlan, f: TrajFactors, r_stage, r_g):
+    """Sequential (per-instance) solve of the factored system.
 
     ``r_stage`` (ph, bs), ``r_g`` (w,) -> (x_stage (ph, bs), x_g (w,)).
     """
@@ -430,6 +482,55 @@ def traj_solve(plan: TrajPlan, f: TrajFactors, r_stage, r_g):
     return xs, g
 
 
+@_functools.lru_cache(maxsize=None)
+def _solve_cv_for(plan: TrajPlan):
+    """custom_vmap dispatcher for :func:`traj_solve`: per-instance code is
+    the sequential recursion; under ``vmap`` the whole batch routes to the
+    fused Pallas sweep kernels (ops/trajectory_sweeps.py) — one
+    ``pallas_call`` per sweep instead of ~6 XLA ops per stage (measured
+    ~3 ms -> sub-ms per solve at B=256/ph=20 on TPU v5e)."""
+    from . import trajectory_sweeps
+
+    @jax.custom_batching.custom_vmap
+    def solve(Sinv, L, X, Ghat_inv, r_stage, r_g):
+        return _traj_solve_seq(
+            plan, TrajFactors(Sinv, L, X, Ghat_inv), r_stage, r_g
+        )
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, Sinv, L, X, Ghat_inv, r_stage, r_g):
+        args = [
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(
+                (Sinv, L, X, Ghat_inv, r_stage, r_g), in_batched
+            )
+        ]
+        Sinv, L, X, Ghat_inv, r_stage, r_g = args
+        if (
+            jax.default_backend() == "tpu"
+            and Sinv.dtype == jnp.float32
+            and trajectory_sweeps.sweeps_supported(plan.ph, plan.bs, plan.w)
+        ):
+            out = trajectory_sweeps.batched_sweep_solve(
+                Sinv, L, X, Ghat_inv, r_stage, r_g
+            )
+        else:
+            out = jax.vmap(
+                lambda s, l, x, gi, rs, rg: _traj_solve_seq(
+                    plan, TrajFactors(s, l, x, gi), rs, rg
+                )
+            )(Sinv, L, X, Ghat_inv, r_stage, r_g)
+        return out, (True, True)
+
+    return solve
+
+
+def traj_solve(plan: TrajPlan, f: TrajFactors, r_stage, r_g):
+    """Solve the factored system for one right-hand side (batched under
+    vmap via the fused Pallas sweep kernels; see :func:`_solve_cv_for`)."""
+    return _solve_cv_for(plan)(f.Sinv, f.L, f.X, f.Ghat_inv, r_stage, r_g)
+
+
 # ---------------------------------------------------------------------------
 # IPM driver (mirrors ops/pdip.py's Mehrotra predictor-corrector; the Newton
 # systems route through the banded factorization instead of dense inverses)
@@ -440,6 +541,8 @@ class TrajIPMSolution(NamedTuple):
     d: jax.Array  # (nz,) primal step (elastic variable dropped)
     nu: jax.Array  # (me,) equality duals
     lam: jax.Array  # (mi,) user-inequality duals
+    box_net: jax.Array  # (nz,) lam_hi - lam_lo (box duals, net) — the
+    # warm-start payload for the next subproblem (see ``warm_y``)
     gap: jax.Array
     res: jax.Array
     status: jax.Array
@@ -461,6 +564,8 @@ def ipm_solve(
     eps: float = 1e-8,
     eps_res: Optional[float] = None,
     tau: float = 0.995,
+    h_blocks=None,
+    warm_y: Optional[jax.Array] = None,
 ) -> TrajIPMSolution:
     """Elastic-relaxed inner QP via IPM + banded KKT (one instance; vmap
     batches).  Solves the same subproblem as the ``pdip`` engine in
@@ -476,7 +581,13 @@ def ipm_solve(
     dtype = B.dtype
     f32 = dtype == jnp.float32
     if eps_res is None:
-        eps_res = 3e-6 if f32 else 1e-10
+        # f32: the KKT residual's rounding floor grows like
+        # sqrt(nz)*eps*scale; at nz=301 a flat 3e-6 leaves ~half the lanes
+        # floor-stalled burning every remaining lockstep iteration
+        # (measured round 4: res p50 of non-converged lanes = 3.2e-5).
+        # The returned direction is a line-search TRIAL for the outer SQP,
+        # which needs ~1e-4-relative accuracy, not 1e-6 absolute.
+        eps_res = 3e-6 * max(1.0, nz / 30.0) if f32 else 1e-10
     reg_p = jnp.asarray(1e-7 if f32 else 1e-10, dtype)
     reg_d = jnp.asarray(1e-7 if f32 else 1e-10, dtype)
     cap = jnp.asarray(1e6 if f32 else 1e12, dtype)
@@ -497,8 +608,15 @@ def ipm_solve(
     # XLA from fusing these (gather-heavy, computed once) into the IPM
     # loop body's consumers — without it the extraction rematerializes
     # inside every iteration (measured 10x slowdown of the loop body,
-    # misc/profile_osc.py bisection).
-    Hd0, Hl0, Hc0, Hg0 = _h_blocks(plan, B)
+    # misc/profile_osc.py bisection).  ``h_blocks`` lets the caller hoist
+    # the curvature-matrix extraction even further: under the constant
+    # gauss_newton model the SQP driver computes it ONCE PER SOLVE
+    # instead of once per SQP iteration (the gathers over the (nz, nz)
+    # matrix measured ~8 ms at B=256/nz=301 — a per-iteration tax
+    # otherwise, since XLA does not hoist across its while loop).
+    Hd0, Hl0, Hc0, Hg0 = (
+        h_blocks if h_blocks is not None else _h_blocks(plan, B)
+    )
     Jexu_d, A_sub, Jeg = _je_blocks(plan, Je, ce)
     Jxu, Jg_hs = _stage_cols(plan, Ji)  # (ph, mi, bs_p), (mi, nu+1)
     Jg = jnp.concatenate([Jg_hs, -ci_pos[:, None]], axis=1)  # (mi, w)
@@ -549,20 +667,39 @@ def ipm_solve(
             Hd0 + Dji
             + (wb_stage[:, :, None] + reg_p) * eye_p[None]
         )
-        D = jnp.zeros((ph, bs, bs), dtype)
-        D = D.at[:, :bs_p, :bs_p].set(Hpp)
-        D = D.at[:, :bs_p, bs_p:].set(jnp.swapaxes(Jexu_d, 1, 2))
-        D = D.at[:, bs_p:, :bs_p].set(Jexu_d)
-        D = D.at[:, bs_p:, bs_p:].set(-reg_d * eye_x[None])
+        # concatenation (not .at[].set) builds: under vmap the masked
+        # updates lower to full-buffer dynamic-update-slices costing
+        # ~150 us EACH per IPM iteration on TPU v5e (profiler trace:
+        # 1.7 ms/iteration of pure DUS), while the concats fuse away
+        D = jnp.concatenate(
+            [
+                jnp.concatenate([Hpp, jnp.swapaxes(Jexu_d, 1, 2)], axis=2),
+                jnp.concatenate(
+                    [Jexu_d,
+                     jnp.broadcast_to(-reg_d * eye_x, (ph, nx, nx))],
+                    axis=2,
+                ),
+            ],
+            axis=1,
+        )
 
-        Lb = jnp.zeros((max(ph - 1, 0), bs, bs), dtype)
         if ph > 1:
-            Lb = Lb.at[:, :bs_p, :bs_p].set(Hl0 + Lji)
-            Lb = Lb.at[:, bs_p:, :bs_p].set(A_sub)
+            Lb = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [Hl0 + Lji, jnp.zeros((ph - 1, bs_p, nx), dtype)],
+                        axis=2,
+                    ),
+                    jnp.concatenate(
+                        [A_sub, jnp.zeros((ph - 1, nx, nx), dtype)], axis=2
+                    ),
+                ],
+                axis=1,
+            )
+        else:
+            Lb = jnp.zeros((0, bs, bs), dtype)
 
-        C = jnp.zeros((ph, bs, w), dtype)
-        C = C.at[:, :bs_p, :].set(Hc_pad + Cji)
-        C = C.at[:, bs_p:, :].set(Jeg)
+        C = jnp.concatenate([Hc_pad + Cji, Jeg], axis=1)
 
         wb_g = jnp.concatenate(
             [
@@ -596,14 +733,13 @@ def ipm_solve(
             [rd_u_all[ch - 1], rhs_d[nz - 1 : nz], rhs_xi[None]]
         )
         xs, xg = traj_solve(plan, factors, r_stage, r_g)
-        dd = jnp.zeros((nz,), dtype)
-        dd = dd.at[: ph * nx].set(xs[:, :nx].reshape(-1))
-        if ch > 1:
-            dd = dd.at[ph * nx : ph * nx + (ch - 1) * nu].set(
-                xs[: ch - 1, nx:bs_p].reshape(-1)
-            )
-        dd = dd.at[ph * nx + (ch - 1) * nu : ph * nx + ch * nu].set(xg[:nu])
-        dd = dd.at[nz - 1].set(xg[nu])
+        # the permuted pieces are contiguous in the z layout:
+        # [x_1..x_ph | ub_0..ub_{ch-2} | ub_{ch-1} | slack]
+        dd = jnp.concatenate(
+            [xs[:, :nx].reshape(-1),
+             xs[: ch - 1, nx:bs_p].reshape(-1),
+             xg[:nu], xg[nu : nu + 1]]
+        )
         dxi = xg[nu + 1]
         dnu = xs[:, bs_p:].reshape(-1)
         return dd, dxi, dnu
@@ -627,6 +763,9 @@ def ipm_solve(
         gap: jax.Array
         res: jax.Array
         it: jax.Array
+        mu_chk: jax.Array  # stall detection: mu/res at the previous
+        res_chk: jax.Array  # iteration (see `stalled` below)
+        stall_ct: jax.Array
 
     b_u = -ci
     b_hi = ubf  # d <= ub (caller passes ub - z etc.)
@@ -640,6 +779,38 @@ def ipm_solve(
     lam_hi0 = jnp.where(mask_hi, 1.0, 0.0)
     s_lo0 = jnp.where(mask_lo, jnp.maximum(b_lo, 1.0), 1.0)
     lam_lo0 = jnp.where(mask_lo, 1.0, 0.0)
+    nu0 = jnp.zeros((me,), dtype)
+    if warm_y is not None:
+        # dual warm start from the previous SQP iteration's subproblem
+        # (warm_y = [nu ; lam_u ; lam_hi - lam_lo]): clamp the carried
+        # multipliers to a centrality band so the active-set information
+        # survives (large lam on active rows) while inactive rows start
+        # near the barrier floor — across SQP iterations the subproblems
+        # change slowly, and the carried partition cuts the Mehrotra
+        # path-following iterations roughly in half on warm steps.
+        # An all-zero warm_y (the first SQP iteration) keeps the cold
+        # start above.
+        is_warm = jnp.any(jnp.abs(warm_y) > 0)
+        beta_lo = jnp.asarray(1e-2, dtype)
+        beta_hi = jnp.asarray(1e4, dtype)
+        lam_u_w = jnp.clip(warm_y[me : me + mi], beta_lo, beta_hi)
+        net = warm_y[me + mi :]
+        lam_hi_w = jnp.where(
+            mask_hi, jnp.clip(jnp.maximum(net, 0.0), beta_lo, beta_hi), 0.0
+        )
+        lam_lo_w = jnp.where(
+            mask_lo, jnp.clip(jnp.maximum(-net, 0.0), beta_lo, beta_hi), 0.0
+        )
+        s_u_w = jnp.maximum(b_u, 1e-2)
+        s_hi_w = jnp.where(mask_hi, jnp.maximum(b_hi, 1e-2), 1.0)
+        s_lo_w = jnp.where(mask_lo, jnp.maximum(b_lo, 1e-2), 1.0)
+        lam_u0 = jnp.where(is_warm, lam_u_w, lam_u0)
+        lam_hi0 = jnp.where(is_warm, lam_hi_w, lam_hi0)
+        lam_lo0 = jnp.where(is_warm, lam_lo_w, lam_lo0)
+        s_u0 = jnp.where(is_warm, s_u_w, s_u0)
+        s_hi0 = jnp.where(is_warm, s_hi_w, s_hi0)
+        s_lo0 = jnp.where(is_warm, s_lo_w, s_lo0)
+        nu0 = jnp.where(is_warm, warm_y[:me], nu0)
 
     def kkt_res(st: St):
         r_d = (
@@ -675,6 +846,15 @@ def ipm_solve(
             + jnp.sum(jnp.where(mask_lo, st.lam_lo * st.s_lo, 0.0))
         ) / n_real
         conv = (mu < eps) & (res < eps_res)
+        # per-lane stall freeze: a lane whose complementarity gap AND
+        # KKT residual have both stopped improving (>1% for 3 consecutive
+        # iterations) has hit its float noise floor — freeze it so the
+        # vmapped lockstep loop can exit once every lane is done/stalled
+        # instead of dragging the whole batch to the n_iters cap (the cap
+        # exists for the slowly-but-genuinely-improving ~1% tail)
+        improved = (mu < 0.99 * st.mu_chk) | (res < 0.99 * st.res_chk)
+        stall_ct = jnp.where(improved, 0, st.stall_ct + 1)
+        stalled = stall_ct >= 3
 
         W_u = jnp.minimum(st.lam_u / jnp.maximum(st.s_u, 1e-30), cap)
         wbox = box_weights(st.lam_hi, st.s_hi, st.lam_lo, st.s_lo)
@@ -794,7 +974,7 @@ def ipm_solve(
             & jnp.isfinite(alpha)
         )
         fail = st.fail | (~st.done & ~conv & ~step_ok)
-        done = st.done | conv | ~step_ok
+        done = st.done | conv | ~step_ok | stalled
         upd = ~done
         return St(
             d=jnp.where(upd, st.d + alpha * dd, st.d),
@@ -811,15 +991,21 @@ def ipm_solve(
             gap=jnp.where(st.done, st.gap, mu),
             res=jnp.where(st.done, st.res, res),
             it=st.it + jnp.where(st.done, 0, 1),
+            mu_chk=jnp.where(st.done, st.mu_chk, mu),
+            res_chk=jnp.where(st.done, st.res_chk, res),
+            stall_ct=stall_ct,
         )
 
     init = St(
-        d=d0, xi=xi0, nu=jnp.zeros((me,), dtype),
+        d=d0, xi=xi0, nu=nu0,
         lam_u=lam_u0, s_u=s_u0, lam_hi=lam_hi0, s_hi=s_hi0,
         lam_lo=lam_lo0, s_lo=s_lo0,
         done=jnp.asarray(False), fail=jnp.asarray(False),
         gap=jnp.asarray(jnp.inf, dtype), res=jnp.asarray(jnp.inf, dtype),
         it=jnp.asarray(0, jnp.int32),
+        mu_chk=jnp.asarray(jnp.inf, dtype),
+        res_chk=jnp.asarray(jnp.inf, dtype),
+        stall_ct=jnp.asarray(0, jnp.int32),
     )
     st = jax.lax.while_loop(lambda s: ~s.done & (s.it < n_iters), body, init)
     _, _, _, res_fin = kkt_res(st)
@@ -835,6 +1021,8 @@ def ipm_solve(
         d=st.d,
         nu=st.nu,
         lam=st.lam_u,
+        box_net=jnp.where(mask_hi, st.lam_hi, 0.0)
+        - jnp.where(mask_lo, st.lam_lo, 0.0),
         gap=gap,
         res=res,
         status=jnp.where(ok, OSQP_SOLVED, OSQP_MAX_ITER_REACHED).astype(jnp.int32),

@@ -113,8 +113,13 @@ def ugv_oracle():
     K_ugv = int(os.environ.get("LIBMPC_UGV_ORACLE_K", 150))
     dtype = jnp.float64
     c, plant, params_fn, x0, obstacles, radii, yref = _make_ugv(dtype, B_ugv)
+    # accuracy-reference engine: f64 interior-point inner QP (1e-10 KKT).
+    # gauss_newton (not eigh) curvature: the converged iterates satisfy the
+    # same first-order KKT conditions either way, and the per-iteration
+    # (61,61) Lagrangian Hessian + eigh of the eigh mode made the 150-step
+    # B=256 CPU rollout impractically slow (>4 CPU-hours, measured)
     c.set_optimizer_parameters(dc.replace(
-        c._params, inner_qp="pdip", hessian_reg="eigh",
+        c._params, inner_qp="pdip", hessian_reg="gauss_newton",
         maximum_iteration=300))
     r = nlmpc_rollout(c, plant, x0, jnp.zeros((B_ugv, 2), dtype), K_ugv,
                       params_fn=params_fn)

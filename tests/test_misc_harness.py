@@ -44,6 +44,8 @@ class TestBenchScript:
             "LIBMPC_NL_CL_B": "4", "LIBMPC_NL_CL_K": "2",
             "LIBMPC_OSC_B": "2", "LIBMPC_OSC_K": "1",
             "LIBMPC_NL_B": "8",
+            "LIBMPC_UGV_B": "4", "LIBMPC_UGV_K": "2",
+            "LIBMPC_PEAK_SIZE": "256",
         })
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "8"],
