@@ -190,7 +190,7 @@ def main():
         B=env_int("LIBMPC_NL_CL_B", 4096), K=env_int("LIBMPC_NL_CL_K", 16))
     osc = _nlmpc_osc_bench(
         B=env_int("LIBMPC_OSC_B", 256), K=env_int("LIBMPC_OSC_K", 8))
-    ugv = _ugv_bench(B=env_int("LIBMPC_UGV_B", 1024),
+    ugv = _ugv_bench(B=env_int("LIBMPC_UGV_B", 256),
                      K=env_int("LIBMPC_UGV_K", 150))
 
     nlmpc_batch = env_int("LIBMPC_NL_B", 4096)
@@ -343,7 +343,9 @@ def _closed_loop_bench(B: int = 16384, K: int = 16, matmul_peak=None):
     # f64-oracle comparisons (misc/closed_loop_ref.py, B=1024 committed)
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "misc", "results", "closed_loop_ref_f64.npz")
-    if os.path.exists(ref_path):
+    # oracle comparisons run at the oracle's own (B=1024, K=16); skip them
+    # for smoke runs shrunk below that scale
+    if os.path.exists(ref_path) and B >= 1024:
         ref = np.load(ref_path)
         B0, K0 = int(ref["B"]), int(ref["K"])
         # regenerate the oracle's inputs EXACTLY (the RNG stream depends on
@@ -449,7 +451,8 @@ def _nlmpc_closed_loop_bench(B: int = 4096, K: int = 16):
     }
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "misc", "results", "vdp_closed_loop_ref_f64.npz")
-    if os.path.exists(ref_path):
+    # skip the oracle-sized comparison for sub-oracle smoke runs
+    if os.path.exists(ref_path) and B >= 1024:
         ref = np.load(ref_path)
         B0, K0 = int(ref["B"]), int(ref["K"])
         # regenerate the oracle's inputs EXACTLY (the RNG stream depends on
@@ -592,20 +595,21 @@ def _make_ugv(dtype, B):
     c.set_objective_function(objective)
     c.set_ineq_con_function(ineq)
     c.set_runtime_params({"v_pref": jnp.zeros((B, 2), dtype)}, batched=True)
-    # engine: measured per problem family on TPU v5e (B=64, K=30, f32) —
-    # the nonconvex obstacle rows favor the warm-started inner-ADMM
-    # engine's directions (success 0.983 vs 0.88 for BOTH interior-point
-    # engines, banded and dense, which agree with each other); gershgorin
-    # Lagrangian-Hessian curvature beats gauss_newton here (0.88 vs 0.62:
-    # the obstacle constraint curvature matters).
-    # relative_ftol: the nonconvex rows leave a few instances circling the
-    # strict KKT test for the full budget (measured f64: mean 12.4 iters
-    # with ftol vs a 100-iteration tail without, at unchanged
-    # trajectories); the reference's own SLSQP stops on its acc parameter
-    # the same way.
+    # config measured per problem family on TPU v5e (f32, 150-step loops):
+    # - gershgorin Lagrangian-Hessian curvature beats gauss_newton (0.88
+    #   vs 0.62 success at 30 steps: the nonconvex obstacle rows'
+    #   curvature matters) and "power" (0.94 vs 0.98 at 150 steps);
+    # - maximum_iteration=200: the nonconvex rows leave ~2-3% of solves
+    #   converging slowly in f32; 200 lifts 150-step success 0.946 ->
+    #   0.977 (the inner-ADMM engine reaches 0.983 but is ~8x slower —
+    #   misc/results notes);
+    # - relative_ftol at an f32-reachable level, the analog of SLSQP's
+    #   acc-based stop.
+    # inner_qp="fused" routes to the banded-KKT interior-point engine
+    # (the fused kernel is size-gated out at nz=61).
     c.set_optimizer_parameters(NLParameters(
-        maximum_iteration=100, hard_constraints=False,
-        enable_warm_start=True, inner_qp="admm",
+        maximum_iteration=200, hard_constraints=False,
+        enable_warm_start=True, inner_qp="fused",
         hessian_reg="gershgorin", relative_ftol=1e-6))
 
     def params_fn(x, k):
@@ -627,6 +631,31 @@ def _make_ugv(dtype, B):
     return c, plant, params_fn, x0, obstacles, radii, yref
 
 
+def _ugv_run_chunks(c, plant, params_fn, x0, K):
+    """Run the UGV closed loop as 30-step device programs chained at the
+    host (state and last input thread through; the warm-start vector
+    restarts cold at each chunk boundary — 5 of 150 steps).  One-shot
+    scans past ~30 steps fault on the axon transport ("TPU device error",
+    deterministic: K>=60 fails, K=30 passes), as does the warm-carry
+    chunked rollout (rollout.py chunk_steps, which CPU tests validate);
+    this host-threaded pattern is the one measured to complete.  The f64
+    oracle (misc/closed_loop_ref.py) uses the same chunking so the
+    compared trajectories share the identical restart schedule."""
+    from libmpc_tpu.rollout import nlmpc_rollout
+
+    chunk = 30 if K % 30 == 0 and K >= 30 else K
+    x = x0
+    u = jnp.zeros((x0.shape[0], 2), x0.dtype)
+    pieces = []
+    for _ in range(K // chunk):
+        r = nlmpc_rollout(c, plant, x, u, chunk, params_fn=params_fn)
+        jax.block_until_ready(r.inputs)
+        pieces.append(r)
+        x = r.states[:, -1]
+        u = r.inputs[:, -1]
+    return pieces
+
+
 def _ugv_bench(B: int = 1024, K: int = 150):
     """UGV obstacle avoidance on hardware (round-4 task #5): the
     reference's third example (examples/ugv_ex.cpp:98-166) as a
@@ -641,14 +670,17 @@ def _ugv_bench(B: int = 1024, K: int = 150):
     dtype = jnp.float32
     c, plant, params_fn, x0, obstacles, radii, yref = _make_ugv(dtype, B)
     u0 = jnp.zeros((B, 2), dtype)
-    r = nlmpc_rollout(c, plant, x0, u0, K, params_fn=params_fn)
-    jax.block_until_ready(r.inputs)
-    t0 = time.perf_counter()
-    r = nlmpc_rollout(c, plant, x0, u0, K, params_fn=params_fn)
-    jax.block_until_ready(r.inputs)
-    rate = B * K / (time.perf_counter() - t0)
 
-    states = np.asarray(r.states)  # (B, K+1, 4)
+    pieces = _ugv_run_chunks(c, plant, params_fn, x0, K)  # compile+run
+    t0 = time.perf_counter()
+    pieces = _ugv_run_chunks(c, plant, params_fn, x0, K)
+    rate = B * K / (time.perf_counter() - t0)
+    states = np.concatenate(
+        [np.asarray(p.states)[:, :-1] for p in pieces]
+        + [np.asarray(pieces[-1].states)[:, -1:]], axis=1)  # (B, K+1, 4)
+    inputs = np.concatenate([np.asarray(p.inputs) for p in pieces], axis=1)
+    statuses = np.concatenate([np.asarray(p.statuses) for p in pieces], axis=1)
+    iters = np.concatenate([np.asarray(p.iterations) for p in pieces], axis=1)
     pos = states[:, :, 0:2]
     goal_dist = np.linalg.norm(pos[:, -1] - np.asarray(yref), axis=-1)
     dmin = np.linalg.norm(
@@ -658,34 +690,64 @@ def _ugv_bench(B: int = 1024, K: int = 150):
     # boundary; anything >= r - 1e-2 counts as avoided (cpp example checks
     # goal attainment only, ugv_ex.cpp:166)
     avoided = dmin >= float(radii[0]) - 1e-2
-    iters = np.asarray(r.iterations)
     out = {
         "ugv_solves_per_s": round(float(rate), 1),
         "ugv_batch": B,
         "ugv_steps": K,
         "ugv_goal_frac": round(float(np.mean(goal_dist < 0.05)), 4),
         "ugv_avoid_frac": round(float(np.mean(avoided)), 4),
-        "ugv_success_frac": round(
-            float(np.mean(np.asarray(r.statuses) == 0)), 4),
+        "ugv_success_frac": round(float(np.mean(statuses == 0)), 4),
         "ugv_iters_mean": round(float(iters.mean()), 2),
     }
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "misc", "results", "ugv_closed_loop_ref_f64.npz")
-    if os.path.exists(ref_path):
+    # the comparison runs at the oracle's own (B, K); skip it for smoke
+    # runs shrunk below that scale (the comparison would dwarf them)
+    if os.path.exists(ref_path) and K >= 150:
+        # MATCHED-STATE comparison (shadow rollout along the oracle's own
+        # trajectory): on this NONCONVEX problem free f32/f64 loops can
+        # legitimately pick different obstacle sides and diverge O(1)+ —
+        # a free-trajectory command diff measures local-solution selection,
+        # not precision.  Teleporting the plant onto the oracle states
+        # makes every step solve the oracle's exact problem (the same
+        # diagnosis methodology as the LMPC section).
         ref = np.load(ref_path)
         B0, K0 = int(ref["B"]), int(ref["K"])
-        c0, plant0, pf0, x00, *_ = _make_ugv(dtype, B0)
-        r0 = nlmpc_rollout(c0, plant0, x00, jnp.zeros((B0, 2), dtype), K0,
-                           params_fn=pf0)
-        err = np.abs(np.asarray(r0.inputs) - ref["inputs"]).max(axis=-1)
-        if "statuses" in ref.files:
-            # mask steps where the f64 oracle itself hit MAX_ITERATION
-            # (a handful of nonconvex cold solves) — no reference there
-            err = err[np.asarray(ref["statuses"]) == 0]
-        out["ugv_cmd_max_err_vs_f64"] = round(float(err.max()), 8)
-        out["ugv_cmd_mean_err_vs_f64"] = round(float(err.mean()), 8)
-        out["ugv_cmd_p99_err_vs_f64"] = round(
-            float(np.quantile(err, 0.99)), 8)
+        ostates = jnp.asarray(ref["states"], dtype)
+
+        def plant_shadow(x, u, k):
+            return ostates[:, k + 1]
+
+        c0, _plant0, pf0, x00, *_ = _make_ugv(dtype, B0)
+        p0 = _ugv_run_chunks(c0, plant_shadow, pf0, ostates[:, 0], K0)
+        inputs0 = np.concatenate([np.asarray(p.inputs) for p in p0], axis=1)
+        err = np.abs(inputs0 - ref["inputs"]).max(axis=-1)
+        mask = (
+            (np.asarray(ref["statuses"]) == 0)
+            if "statuses" in ref.files else np.ones_like(err, bool)
+        )
+        err = err[mask]
+        # the obstacle NLP is multimodal: from the same state a solve can
+        # legitimately converge to the left- or right-passage optimum, and
+        # the f32 production path (gershgorin curvature) and the f64
+        # oracle (gauss_newton + pdip) split on a minority of steps with
+        # O(10)+ command differences that measure SOLUTION SELECTION, not
+        # precision.  ugv_cmd_match_frac counts steps where both picked
+        # the same optimum (agreement within 1e-2); the median reports
+        # the precision on the agreeing majority.
+        out["ugv_cmd_err_matched_p50"] = round(
+            float(np.quantile(err, 0.50)), 8)
+        out["ugv_cmd_match_frac"] = round(float(np.mean(err < 1e-2)), 4)
+        out["ugv_cmd_err_matched_mean"] = round(float(err.mean()), 8)
+        # behavioral agreement: the oracle's own goal/avoidance rates
+        opos = np.asarray(ref["states"])[:, :, 0:2]
+        ogoal = np.linalg.norm(opos[:, -1] - np.asarray(yref), axis=-1)
+        odmin = np.linalg.norm(
+            opos[:, :, None, :] - np.asarray(obstacles)[None, None], axis=-1
+        ).min(axis=(1, 2))
+        out["ugv_goal_frac_f64"] = round(float(np.mean(ogoal < 0.05)), 4)
+        out["ugv_avoid_frac_f64"] = round(
+            float(np.mean(odmin >= float(radii[0]) - 1e-2)), 4)
     return out
 
 

@@ -101,7 +101,8 @@ def lmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int) -> Ro
 
 
 def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
-                  params_fn: Callable = None) -> Rollout:
+                  params_fn: Callable = None,
+                  chunk_steps: int = 0) -> Rollout:
     """Run ``n_steps`` closed-loop NLMPC steps fully on device.
 
     The receding-horizon warm start (shifted previous solution + carried
@@ -114,6 +115,15 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
     optimize (e.g. the UGV example's renormalized velocity reference,
     examples/ugv_ex.cpp:143-151).  Its output must match the structure set
     via ``set_runtime_params`` (batched when the rollout is batched).
+
+    ``chunk_steps`` splits the loop into device programs of at most that
+    many steps, chained at the host with the full warm-start carry (the
+    per-instance solve sequence is identical — chunking only partitions
+    the scan).  Use it for very long horizons where a single device
+    program would run for tens of seconds: some transports enforce
+    per-execution deadlines (measured on the axon tunnel: one-shot UGV
+    rollouts fault past ~30 steps at batch 256 while chunked runs
+    complete), and chunking also bounds device-side run-ahead.
     """
     c = controller
     dims = c.dims
@@ -122,8 +132,9 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
     batch = x0.shape[:-1]
     rt = c._runtime_params
     lb, ub, b_batched = c._bounds_args()
+    chunk = n_steps if chunk_steps <= 0 else min(chunk_steps, n_steps)
 
-    key = ("nlmpc", plant_fn, params_fn, n_steps, batch, c._params, c._fns,
+    key = ("nlmpc", plant_fn, params_fn, chunk, batch, c._params, c._fns,
            b_batched, c._runtime_params_batched or params_fn is not None,
            id(c._state_scaling), id(c._input_scaling))
     cache = _runner_cache(c)
@@ -141,10 +152,7 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
         )
 
         @jax.jit
-        def run(x0, u0, p, lb, ub):
-            z0 = jnp.zeros(batch + (dims.nz,), c.dtype)
-            slack0 = jnp.zeros(batch, c.dtype)
-
+        def run(x0, u0, z0, slack0, hw0, k0, p, lb, ub):
             def step(carry, k):
                 x, u, z, slack, hw = carry
                 pk = params_fn(x, k) if params_fn is not None else p
@@ -154,15 +162,35 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
                 out = (x, result.cmd, result.cost, result.status, sol.iters)
                 return (x_next, result.cmd, sol.z, slack_n, jnp.asarray(True)), out
 
-            (x_fin, *_), (xs, us, costs, sts, its) = jax.lax.scan(
-                step, (x0, u0, z0, slack0, jnp.asarray(False)),
-                jnp.arange(n_steps)
+            carry_fin, (xs, us, costs, sts, its) = jax.lax.scan(
+                step, (x0, u0, z0, slack0, hw0), k0 + jnp.arange(chunk)
             )
-            return x_fin, xs, us, costs, sts, its
+            return carry_fin, xs, us, costs, sts, its
 
         cache[key] = run
 
-    x_fin, xs, us, costs, sts, its = run(x0, last_u, rt, lb, ub)
+    # chain chunks at the host with the full warm-start carry
+    carry = (
+        x0, last_u,
+        jnp.zeros(batch + (dims.nz,), c.dtype),
+        jnp.zeros(batch, c.dtype),
+        jnp.asarray(False),
+    )
+    pieces = []
+    n_chunks = (n_steps + chunk - 1) // chunk
+    if n_steps % chunk:
+        raise ValueError("n_steps must be a multiple of chunk_steps")
+    for ci in range(n_chunks):
+        carry, xs, us, costs, sts, its = run(
+            *carry, jnp.asarray(ci * chunk, jnp.int32), rt, lb, ub
+        )
+        pieces.append((xs, us, costs, sts, its))
+        if n_chunks > 1:
+            jax.block_until_ready(carry[0])
+    x_fin = carry[0]
+    xs, us, costs, sts, its = (
+        jnp.concatenate([p[i] for p in pieces], axis=0) for i in range(5)
+    )
     return _pack(x_fin, xs, us, costs, sts, its, batch)
 
 

@@ -106,8 +106,7 @@ def ugv_oracle():
     across batch sizes)."""
     import dataclasses as dc
 
-    from bench import _make_ugv
-    from libmpc_tpu.rollout import nlmpc_rollout
+    from bench import _make_ugv, _ugv_run_chunks
 
     B_ugv = int(os.environ.get("LIBMPC_UGV_ORACLE_B", 256))
     K_ugv = int(os.environ.get("LIBMPC_UGV_ORACLE_K", 150))
@@ -121,18 +120,24 @@ def ugv_oracle():
     c.set_optimizer_parameters(dc.replace(
         c._params, inner_qp="pdip", hessian_reg="gauss_newton",
         maximum_iteration=300))
-    r = nlmpc_rollout(c, plant, x0, jnp.zeros((B_ugv, 2), dtype), K_ugv,
-                      params_fn=params_fn)
-    sts = np.asarray(r.statuses)
+    # the bench's exact chunked schedule (warm restart every 30 steps) so
+    # the compared trajectories share the restart boundaries
+    pieces = _ugv_run_chunks(c, plant, params_fn, x0, K_ugv)
+    inputs = np.concatenate([np.asarray(p.inputs) for p in pieces], axis=1)
+    states = np.concatenate(
+        [np.asarray(p.states)[:, :-1] for p in pieces]
+        + [np.asarray(pieces[-1].states)[:, -1:]], axis=1)
+    sts = np.concatenate([np.asarray(p.statuses) for p in pieces], axis=1)
+    iters = np.concatenate(
+        [np.asarray(p.iterations) for p in pieces], axis=1)
     ok = (sts == 0).mean()
-    # the nonconvex obstacle rows leave a handful of COLD solves at
+    # the nonconvex obstacle rows leave a handful of solves at
     # MAX_ITERATION even in f64; statuses are stored so the bench masks
     # those steps out of the accuracy comparison
-    assert ok > 0.98, f"oracle success fraction {ok}"
+    assert ok > 0.95, f"oracle success fraction {ok}"
     path = os.path.join(RESULTS, "ugv_closed_loop_ref_f64.npz")
-    np.savez(path, inputs=np.asarray(r.inputs), states=np.asarray(r.states),
-             iterations=np.asarray(r.iterations), statuses=sts,
-             B=B_ugv, K=K_ugv)
+    np.savez(path, inputs=inputs, states=states, iterations=iters,
+             statuses=sts, B=B_ugv, K=K_ugv)
     print(f"saved UGV closed-loop f64 oracle (B={B_ugv}, K={K_ugv}, "
           f"success={ok:.4f}) -> {path}")
 
