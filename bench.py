@@ -727,14 +727,17 @@ def _ugv_bench(B: int = 1024, K: int = 150):
             if "statuses" in ref.files else np.ones_like(err, bool)
         )
         err = err[mask]
-        # the obstacle NLP is multimodal: from the same state a solve can
-        # legitimately converge to the left- or right-passage optimum, and
-        # the f32 production path (gershgorin curvature) and the f64
-        # oracle (gauss_newton + pdip) split on a minority of steps with
-        # O(10)+ command differences that measure SOLUTION SELECTION, not
-        # precision.  ugv_cmd_match_frac counts steps where both picked
-        # the same optimum (agreement within 1e-2); the median reports
-        # the precision on the agreeing majority.
+        # the obstacle NLP is multimodal: from the same state a solve
+        # can legitimately converge to the left- or right-passage
+        # optimum, and once a loop's warm start locks into a basin every
+        # later solve stays there — so the f32 production path
+        # (gershgorin curvature) and the f64 oracle (gauss_newton + pdip)
+        # agree on only a fraction of steps, with O(10)+ command
+        # differences on the rest that measure SOLUTION SELECTION, not
+        # precision.  ugv_cmd_match_frac counts same-basin steps
+        # (agreement within 1e-2); the behavioral goal/avoid fields are
+        # the accuracy statement for this problem family
+        # (docs/performance.md).
         out["ugv_cmd_err_matched_p50"] = round(
             float(np.quantile(err, 0.50)), 8)
         out["ugv_cmd_match_frac"] = round(float(np.mean(err < 1e-2)), 4)

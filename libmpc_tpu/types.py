@@ -223,10 +223,18 @@ class NLParameters(Parameters):
     # whole batch of float32 subproblems in ONE Pallas kernel per SQP
     # iteration (ops/qp_inner_pallas.py: in-VMEM Cholesky + ADMM loop,
     # batch in lanes — the fast production path; float64 solves fall back
-    # to "pdip"); "pdip" solves each subproblem with a Mehrotra
-    # predictor-corrector interior-point method (~20 iterations of small
-    # batched factorizations — the accuracy-reference engine and the f64
-    # default); "admm" uses the shared OSQP-style XLA kernel
+    # to "pdip", and problems past the kernel's VMEM gate fall back to
+    # "riccati" when the structure probe verified the plan, else "admm");
+    # "riccati" solves each subproblem with the banded-KKT interior-point
+    # method (ops/trajectory_kkt.py: Mehrotra IPM whose Newton systems
+    # factor as a bordered block-tridiagonal LDL^T over the horizon — the
+    # scaling engine for large trajectory NLPs, requires the verified
+    # stage-local structure and a gauss_newton/gershgorin/power curvature
+    # mode; degrades to "pdip" otherwise); "pdip" solves each subproblem
+    # with a dense Mehrotra predictor-corrector interior-point method
+    # (~20 iterations of small batched factorizations — the accuracy-
+    # reference engine and the f64 default); "admm" uses the shared
+    # OSQP-style XLA kernel
     inner_qp: str = "fused"
     # TPU-native extension (the reference has verbose only on LParameters):
     # prints a per-solve SQP iteration summary, mirroring LMPC's behavior

@@ -136,3 +136,27 @@ class TestRunnerCaching:
         assert len(cache) == 1
         assert next(iter(cache.values())) is fn  # same compiled runner
         assert np.array_equal(np.asarray(r1.inputs), np.asarray(r2.inputs))
+
+    def test_chunked_rollout_matches_one_shot(self):
+        """chunk_steps partitions the identical per-instance solve
+        sequence: the warm-start carry (z, slack, have-warm flag, step
+        index) threads through the host boundary, so a 6-step rollout in
+        three 2-step device programs reproduces the one-shot scan
+        bitwise."""
+        ts = 0.1
+        vdp_b = jax.vmap(vdp_continuous, in_axes=(0, 0, None))
+        plant = lambda x, u, k: x + vdp_b(x, u, k) * ts
+        x0 = np.array([[0.2, -0.1], [0.1, 0.3], [-0.4, 0.2]])
+        u0 = np.zeros((3, 1))
+        c1 = make_vdp_controller()
+        r_full = nlmpc_rollout(c1, plant, x0, u0, 6)
+        c2 = make_vdp_controller()
+        r_chunk = nlmpc_rollout(c2, plant, x0, u0, 6, chunk_steps=2)
+        assert np.array_equal(np.asarray(r_full.inputs),
+                              np.asarray(r_chunk.inputs))
+        assert np.array_equal(np.asarray(r_full.states),
+                              np.asarray(r_chunk.states))
+        assert np.array_equal(np.asarray(r_full.iterations),
+                              np.asarray(r_chunk.iterations))
+        with pytest.raises(ValueError):
+            nlmpc_rollout(c2, plant, x0, u0, 5, chunk_steps=2)
