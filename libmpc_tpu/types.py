@@ -165,10 +165,14 @@ class LParameters(Parameters):
     # cold-start initialization (TPU-native extension): "kkt" seeds a solve
     # with no warm start at the minimizer of the rho-weighted equality-
     # anchored quadratic model, x0 = M^-1 (A'R clip(0,l,u) - q) — one extra
-    # matmul against the already-prepared KKT inverse; "zeros" starts at
-    # the origin like OSQP.  Only the unconverged-iterate path changes;
-    # converged results are identical.
-    cold_start: str = "kkt"
+    # matmul against the already-prepared KKT inverse; "zeros" (default)
+    # starts at the origin like OSQP.  Measured on the quadrotor family
+    # (TPU v5e, B=4096 cold batch): the seed INCREASED cold iterations
+    # (209.8 vs 195.1 mean) — a good primal with zero duals starts the
+    # ADMM off the central path — so the origin stays the default; the
+    # option remains for problem families where the equality-anchored
+    # seed lands nearer the constrained optimum.
+    cold_start: str = "zeros"
     # advance the warm start one stage along the horizon before each solve
     # (receding-horizon realignment; lmpc/problem.py::shift_warm_start).
     # The reference reuses the previous solution unshifted

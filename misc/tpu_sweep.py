@@ -457,8 +457,92 @@ def section_osc_engine(B=128):
                   f"{type(e).__name__}: {e}", flush=True)
 
 
+def section_cold_start(B=4096):
+    """Cold-solve initialization A/B (LParameters.cold_start): the
+    KKT-seeded start vs OSQP's origin, measured on a purely-cold batch
+    (round-4 task #7).  Measured verdict on TPU v5e: the seed INCREASES
+    cold iterations (209.8 vs 195.1 mean at the closed-loop settings) —
+    a good primal with zero duals starts the ADMM off the central path —
+    which is why "zeros" is the default."""
+    import dataclasses as dc
+
+    from __graft_entry__ import _quadrotor_setup
+    from bench import _closed_loop_params
+    from libmpc_tpu.lmpc.controller import build_prepared, solve_body
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+    u0 = jnp.zeros((B, 4), dtype)
+    for cs in ("zeros", "kkt"):
+        c = _quadrotor_setup(dtype)
+        params = dc.replace(_closed_loop_params(), cold_start=cs)
+        c.set_optimizer_parameters(params)
+        dims, prob = c.dims, c._prob
+        built = build_prepared(dims, params, prob, c._y_ref, c._u_ref,
+                               c._du_ref, c._u_meas)
+
+        @jax.jit
+        def step(x0, u0):
+            result, seq, sx, sy, iters = solve_body(
+                dims, params, prob, x0, u0, c._y_ref, c._u_ref, c._du_ref,
+                c._u_meas, jnp.zeros((B, dims.nz), dtype),
+                jnp.zeros((B, dims.m), dtype), jnp.asarray(False), u0,
+                built=built)
+            return result, iters
+
+        res, iters = step(x0, u0)
+        jax.block_until_ready(iters)
+        it = np.asarray(iters)
+        print(f"  cold_start={cs:6s}: iters mean={it.mean():.1f} "
+              f"p50={np.percentile(it, 50):.0f} "
+              f"p99={np.percentile(it, 99):.0f} "
+              f"success={float(np.mean(np.asarray(res.status) == 0)):.4f}",
+              flush=True)
+
+
+def section_stall_checks(B=16384, K=16):
+    """Straggler stall detection A/B (LParameters.stall_checks) on the
+    plant-coupled closed loop: the warm iteration tail with and without
+    the f32 floor-stall freeze (round-4 task #1)."""
+    import dataclasses as dc
+
+    from __graft_entry__ import _quadrotor_model, _quadrotor_setup
+    from bench import _closed_loop_inputs, _closed_loop_params
+    from libmpc_tpu.rollout import lmpc_rollout
+
+    dtype = jnp.float32
+    Ad, Bd = _quadrotor_model()
+    Adj, Bdj = jnp.asarray(Ad, dtype), jnp.asarray(Bd, dtype)
+    x0_h, noise_h = _closed_loop_inputs(B, K)
+    noise = jnp.asarray(noise_h, dtype)
+
+    def plant(x, u, k):
+        return x @ Adj.T + u @ Bdj.T + noise[k]
+
+    for sc in (0, 3):
+        c = _quadrotor_setup(dtype)
+        c.set_optimizer_parameters(
+            dc.replace(_closed_loop_params(), stall_checks=sc))
+        r = lmpc_rollout(c, plant, jnp.asarray(x0_h, dtype),
+                         jnp.zeros((B, 4), dtype), K)
+        jax.block_until_ready(r.inputs)
+        t0 = time.perf_counter()
+        r = lmpc_rollout(c, plant, jnp.asarray(x0_h, dtype),
+                         jnp.zeros((B, 4), dtype), K)
+        jax.block_until_ready(r.inputs)
+        rate = B * K / (time.perf_counter() - t0)
+        it = np.asarray(r.iterations)[:, 1:]
+        cap = c._params.maximum_iteration
+        print(f"  stall_checks={sc}: {rate:,.0f} solves/s, warm iters "
+              f"mean={it.mean():.1f} p99={np.percentile(it, 99):.0f} "
+              f"cap_frac={np.mean(it >= cap):.5f}", flush=True)
+
+
 SECTIONS = {
     "closed_loop_shift": section_closed_loop_shift,
+    "cold_start": section_cold_start,
+    "stall_checks": section_stall_checks,
     "fused_size_limit": section_fused_size_limit,
     "osc_engine": section_osc_engine,
     "compaction": section_compaction,
