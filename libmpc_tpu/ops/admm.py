@@ -602,7 +602,7 @@ def _admm_loop(P, A, qs, ls, us, x0, y0, rho0, rho_mask_eq, rho_mask_loose,
             )
         else:
             stall_ct = state.stall_ct
-            stalled = jnp.zeros_like(newly) & False
+            stalled = jnp.zeros_like(newly)
 
         status = jnp.where(
             newly & solved,

@@ -424,3 +424,70 @@ class TestMaxIterInaccurateStatuses:
         ])
         out = np.asarray(_status_from_osqp(codes))
         assert (out == int(ResultStatus.SUCCESS)).all()
+
+
+class TestRound4Knobs:
+    """stall_checks / cold_start: behavior-preserving on converged solves."""
+
+    def _problem(self, B=16, seed=0):
+        P, A, q, l, u = random_qp(np.random.default_rng(seed), n=8, m=14,
+                                  batch=B)
+        return P, A, q, l, u
+
+    def test_cold_start_kkt_matches_zeros_when_converged(self):
+        P, A, q, l, u = self._problem()
+        import dataclasses
+        base = LParameters(maximum_iteration=4000, eps_abs=1e-9,
+                           eps_rel=1e-9, polish=False, use_pallas=False,
+                           compact_stragglers=False)
+        sa = admm.admm_solve(P, A, q, l, u,
+                             dataclasses.replace(base, cold_start="zeros"))
+        sb = admm.admm_solve(P, A, q, l, u,
+                             dataclasses.replace(base, cold_start="kkt"))
+        assert (np.asarray(sa.status) == admm.OSQP_SOLVED).all()
+        assert (np.asarray(sb.status) == admm.OSQP_SOLVED).all()
+        # different iterates, same optimum
+        assert np.abs(np.asarray(sa.x) - np.asarray(sb.x)).max() < 1e-6
+
+    def test_stall_checks_inert_on_f64(self):
+        """f64 runs never stall-freeze (the detector is gated to f32):
+        identical solver output with the knob on or off."""
+        P, A, q, l, u = self._problem()
+        import dataclasses
+        base = LParameters(maximum_iteration=300, polish=False,
+                           use_pallas=False, compact_stragglers=False,
+                           check_termination=5)
+        sa = admm.admm_solve(P, A, q, l, u,
+                             dataclasses.replace(base, stall_checks=0))
+        sb = admm.admm_solve(P, A, q, l, u,
+                             dataclasses.replace(base, stall_checks=3))
+        assert np.array_equal(np.asarray(sa.x), np.asarray(sb.x))
+        assert np.array_equal(np.asarray(sa.iters), np.asarray(sb.iters))
+
+    def test_stall_checks_freezes_f32_floor_stall(self):
+        """A float32 solve whose tolerance sits just below the f32 residual
+        floor (inside the stall detector's 10x band) must freeze with
+        OSQP_SOLVED_INACCURATE well before the iteration cap instead of
+        burning it."""
+        P, A, q, l, u = random_qp(np.random.default_rng(0), n=8, m=14)
+        f32 = jnp.float32
+        args = [jnp.asarray(np.asarray(a), f32) for a in (P, A, q, l, u)]
+        import dataclasses
+        base = LParameters(maximum_iteration=800, polish=False,
+                           use_pallas=False, compact_stragglers=False,
+                           check_termination=5, adaptive_rho=False, rho=0.1)
+        # learn the instance's f32 residual floor: run to the cap at an
+        # unreachable tolerance and read the final residuals
+        probe = admm.admm_solve(*args, dataclasses.replace(
+            base, eps_abs=1e-12, eps_rel=1e-12, stall_checks=0))
+        floor = float(max(np.asarray(probe.pri_res),
+                          np.asarray(probe.dua_res)))
+        assert int(probe.iters) == 800  # genuinely floored
+        # tolerance just below the floor -> floor-stalled inside the 10x
+        # band: the detector must freeze early with the INACCURATE verdict
+        sol = admm.admm_solve(*args, dataclasses.replace(
+            base, eps_abs=floor / 3.0, eps_rel=0.0, stall_checks=3))
+        assert int(sol.status) == admm.OSQP_SOLVED_INACCURATE, sol.status
+        # frozen before exhausting the cap (the instance enters the 10x
+        # band late on this problem; measured freeze at ~430 of 800)
+        assert int(sol.iters) < 600, sol.iters
