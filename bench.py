@@ -309,8 +309,13 @@ def _closed_loop_bench(B: int = 16384, K: int = 16, matmul_peak=None):
     u0 = jnp.zeros((B, 4), dtype)
     r = lmpc_rollout(c, plant, x0, u0, K)  # compile + first run
     jax.block_until_ready(r.inputs)
+    # the timed run perturbs x0 by an ulp-scale offset: the axon transport
+    # result-caches identical (executable, input) pairs, so re-timing the
+    # exact warmup inputs can measure the cache instead of the solve
+    # (observed: a "192M solves/s" closed-loop reading)
+    x0_t = x0 + jnp.asarray(1e-6, dtype)
     t0 = time.perf_counter()
-    r = lmpc_rollout(c, plant, x0, u0, K)
+    r = lmpc_rollout(c, plant, x0_t, u0, K)
     jax.block_until_ready(r.inputs)
     rate = B * K / (time.perf_counter() - t0)
     iters = np.asarray(r.iterations)  # (B, K)
@@ -435,7 +440,8 @@ def _nlmpc_closed_loop_bench(B: int = 4096, K: int = 16):
     r = nlmpc_rollout(c, plant, x0, u0, K)
     jax.block_until_ready(r.inputs)
     t0 = time.perf_counter()
-    r = nlmpc_rollout(c, plant, x0, u0, K)
+    # ulp-scale x0 perturbation: defeat the transport's result cache
+    r = nlmpc_rollout(c, plant, x0 + jnp.asarray(1e-6, dtype), u0, K)
     jax.block_until_ready(r.inputs)
     rate = B * K / (time.perf_counter() - t0)
     iters = np.asarray(r.iterations)
@@ -556,7 +562,8 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
     r = nlmpc_rollout(c, plant, x0, u0, K)
     jax.block_until_ready(r.inputs)
     t0 = time.perf_counter()
-    r = nlmpc_rollout(c, plant, x0, u0, K)
+    # ulp-scale x0 perturbation: defeat the transport's result cache
+    r = nlmpc_rollout(c, plant, x0 + jnp.asarray(1e-6, dtype), u0, K)
     jax.block_until_ready(r.inputs)
     rate = B * K / (time.perf_counter() - t0)
     iters = np.asarray(r.iterations)
@@ -693,7 +700,9 @@ def _ugv_bench(B: int = 1024, K: int = 150):
 
     pieces = _ugv_run_chunks(c, plant, params_fn, x0, K)  # compile+run
     t0 = time.perf_counter()
-    pieces = _ugv_run_chunks(c, plant, params_fn, x0, K)
+    # ulp-scale x0 perturbation: defeat the transport's result cache
+    pieces = _ugv_run_chunks(c, plant, params_fn,
+                             x0 + jnp.asarray(1e-6, dtype), K)
     rate = B * K / (time.perf_counter() - t0)
     states = np.concatenate(
         [np.asarray(p.states)[:, :-1] for p in pieces]
