@@ -256,6 +256,27 @@ class TestIPMAgainstDensePdip:
             assert float(jnp.max(jnp.abs(out.lam - ref.lam[:mi]))) < 1e-8
         assert int(out.status) == pdip.OSQP_SOLVED
 
+    def test_warm_y_hook_reaches_same_solution(self):
+        """The dual warm-start hook (kept for problem families where it
+        pays; the production SQP passes None after it measured slower on
+        the oscillator bench) must converge to the same optimum and not
+        destabilize the IPM."""
+        plan, B, g, Je, ce, Ji, ci, lb, ub = _vdp_subproblem()
+        rho_q = jnp.asarray(1e8, B.dtype)
+        cold = tk.ipm_solve(plan, B, g, Je, ce, Ji, ci, lb, ub, rho_q,
+                            n_iters=40, eps=1e-10)
+        assert int(cold.status) == pdip.OSQP_SOLVED
+        warm_y = jnp.concatenate([cold.nu, cold.lam, cold.box_net])
+        warm = tk.ipm_solve(plan, B, g, Je, ce, Ji, ci, lb, ub, rho_q,
+                            n_iters=40, eps=1e-10, warm_y=warm_y)
+        assert int(warm.status) == pdip.OSQP_SOLVED
+        assert float(jnp.max(jnp.abs(warm.d - cold.d))) < 1e-7
+        # an all-zero warm_y must reproduce the cold start exactly
+        zero = tk.ipm_solve(plan, B, g, Je, ce, Ji, ci, lb, ub, rho_q,
+                            n_iters=40, eps=1e-10,
+                            warm_y=jnp.zeros_like(warm_y))
+        assert float(jnp.max(jnp.abs(zero.d - cold.d))) == 0.0
+
     def test_f32_converges(self):
         plan, B, g, Je, ce, Ji, ci, lb, ub = _vdp_subproblem()
         f32 = jnp.float32
