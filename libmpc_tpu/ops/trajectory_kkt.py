@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from . import batched_linalg
-from .admm import OSQP_MAX_ITER_REACHED, OSQP_SOLVED
+from .admm import OSQP_MAX_ITER_REACHED, OSQP_SOLVED, OSQP_SOLVED_INACCURATE
 
 
 @dataclasses.dataclass(frozen=True)
@@ -766,6 +766,7 @@ def ipm_solve(
         mu_chk: jax.Array  # stall detection: mu/res at the previous
         res_chk: jax.Array  # iteration (see `stalled` below)
         stall_ct: jax.Array
+        stall_frz: jax.Array  # lane was frozen by the stall detector
 
     b_u = -ci
     b_hi = ubf  # d <= ub (caller passes ub - z etc.)
@@ -851,10 +852,23 @@ def ipm_solve(
         # iterations) has hit its float noise floor — freeze it so the
         # vmapped lockstep loop can exit once every lane is done/stalled
         # instead of dragging the whole batch to the n_iters cap (the cap
-        # exists for the slowly-but-genuinely-improving ~1% tail)
-        improved = (mu < 0.99 * st.mu_chk) | (res < 0.99 * st.res_chk)
-        stall_ct = jnp.where(improved, 0, st.stall_ct + 1)
-        stalled = stall_ct >= 3
+        # exists for the slowly-but-genuinely-improving ~1% tail).
+        # f32 only, mirroring the ADMM stall detector (ops/admm.py:581):
+        # f64 has no residual floor, and a Mehrotra IPM can plateau
+        # transiently mid-run — freezing those trades accuracy for
+        # nothing.  In f32 the freeze applies regardless of residual
+        # quality: a plateaued direction is still a usable line-search
+        # TRIAL for the outer SQP (forcing noise-floor lanes onward was
+        # measured to produce degenerate steps that fail the merit line
+        # search) — but the lane's VERDICT is gated on residual quality
+        # at exit (see the status mapping below), never plain SOLVED.
+        if f32:
+            improved = (mu < 0.99 * st.mu_chk) | (res < 0.99 * st.res_chk)
+            stall_ct = jnp.where(improved, 0, st.stall_ct + 1)
+            stalled = stall_ct >= 3
+        else:
+            stall_ct = st.stall_ct
+            stalled = jnp.asarray(False)
 
         W_u = jnp.minimum(st.lam_u / jnp.maximum(st.s_u, 1e-30), cap)
         wbox = box_weights(st.lam_hi, st.s_hi, st.lam_lo, st.s_lo)
@@ -975,6 +989,7 @@ def ipm_solve(
         )
         fail = st.fail | (~st.done & ~conv & ~step_ok)
         done = st.done | conv | ~step_ok | stalled
+        stall_frz = st.stall_frz | (~st.done & stalled & ~conv & step_ok)
         upd = ~done
         return St(
             d=jnp.where(upd, st.d + alpha * dd, st.d),
@@ -994,6 +1009,7 @@ def ipm_solve(
             mu_chk=jnp.where(st.done, st.mu_chk, mu),
             res_chk=jnp.where(st.done, st.res_chk, res),
             stall_ct=stall_ct,
+            stall_frz=stall_frz,
         )
 
     init = St(
@@ -1006,6 +1022,7 @@ def ipm_solve(
         mu_chk=jnp.asarray(jnp.inf, dtype),
         res_chk=jnp.asarray(jnp.inf, dtype),
         stall_ct=jnp.asarray(0, jnp.int32),
+        stall_frz=jnp.asarray(False),
     )
     st = jax.lax.while_loop(lambda s: ~s.done & (s.it < n_iters), body, init)
     _, _, _, res_fin = kkt_res(st)
@@ -1016,7 +1033,16 @@ def ipm_solve(
     ) / n_real
     gap = jnp.where(st.done, st.gap, mu_fin)
     res = jnp.where(st.done, st.res, res_fin)
-    ok = (st.done & ~st.fail) | ((gap < 1e3 * eps) & (res < 1e2 * eps_res))
+    # status honesty (mirrors the ADMM stall detector's verdicts,
+    # ops/admm.py:590-603): a lane frozen by the stall detector did NOT
+    # meet the convergence test — it never reports plain SOLVED.  Within
+    # the 10x residual band around the tolerance it reports
+    # OSQP_SOLVED_INACCURATE (the f32 noise-floor case the freeze exists
+    # for); outside it, OSQP_MAX_ITER_REACHED.
+    ok = ~st.stall_frz & (
+        (st.done & ~st.fail) | ((gap < 1e3 * eps) & (res < 1e2 * eps_res))
+    )
+    inacc = st.stall_frz & (res < 10.0 * eps_res)
     return TrajIPMSolution(
         d=st.d,
         nu=st.nu,
@@ -1025,6 +1051,10 @@ def ipm_solve(
         - jnp.where(mask_lo, st.lam_lo, 0.0),
         gap=gap,
         res=res,
-        status=jnp.where(ok, OSQP_SOLVED, OSQP_MAX_ITER_REACHED).astype(jnp.int32),
+        status=jnp.where(
+            ok,
+            OSQP_SOLVED,
+            jnp.where(inacc, OSQP_SOLVED_INACCURATE, OSQP_MAX_ITER_REACHED),
+        ).astype(jnp.int32),
         iters=st.it,
     )

@@ -119,10 +119,11 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
     ``chunk_steps`` splits the loop into device programs of at most that
     many steps, chained at the host with the full warm-start carry (the
     per-instance solve sequence is identical — chunking only partitions
-    the scan).  Use it for very long horizons where a single device
-    program would run for tens of seconds: some transports enforce
-    per-execution deadlines (measured on the axon tunnel: one-shot UGV
-    rollouts fault past ~30 steps at batch 256 while chunked runs
+    the scan).  A trailing remainder (``n_steps`` not a multiple) runs as
+    one shorter final program.  Use it for very long horizons where a
+    single device program would run for tens of seconds: some transports
+    enforce per-execution deadlines (measured on the axon tunnel: one-shot
+    UGV rollouts fault past ~30 steps at batch 256 while chunked runs
     complete), and chunking also bounds device-side run-ahead.
     """
     c = controller
@@ -133,13 +134,15 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
     rt = c._runtime_params
     lb, ub, b_batched = c._bounds_args()
     chunk = n_steps if chunk_steps <= 0 else min(chunk_steps, n_steps)
-
-    key = ("nlmpc", plant_fn, params_fn, chunk, batch, c._params, c._fns,
-           b_batched, c._runtime_params_batched or params_fn is not None,
-           id(c._state_scaling), id(c._input_scaling))
     cache = _runner_cache(c)
-    run = cache.get(key)
-    if run is None:
+
+    def get_run(csize):
+        key = ("nlmpc", plant_fn, params_fn, csize, batch, c._params, c._fns,
+               b_batched, c._runtime_params_batched or params_fn is not None,
+               id(c._state_scaling), id(c._input_scaling))
+        run = cache.get(key)
+        if run is not None:
+            return run
         solve_one = c._make_solve_one()
         p_axis = 0 if (c._runtime_params_batched or
                        (params_fn is not None and batch)) else None
@@ -163,13 +166,15 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
                 return (x_next, result.cmd, sol.z, slack_n, jnp.asarray(True)), out
 
             carry_fin, (xs, us, costs, sts, its) = jax.lax.scan(
-                step, (x0, u0, z0, slack0, hw0), k0 + jnp.arange(chunk)
+                step, (x0, u0, z0, slack0, hw0), k0 + jnp.arange(csize)
             )
             return carry_fin, xs, us, costs, sts, its
 
         cache[key] = run
+        return run
 
-    # chain chunks at the host with the full warm-start carry
+    # chain chunks at the host with the full warm-start carry; a ragged
+    # final chunk compiles one extra (shorter) program
     carry = (
         x0, last_u,
         jnp.zeros(batch + (dims.nz,), c.dtype),
@@ -177,15 +182,17 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
         jnp.asarray(False),
     )
     pieces = []
-    n_chunks = (n_steps + chunk - 1) // chunk
+    schedule = [chunk] * (n_steps // chunk)
     if n_steps % chunk:
-        raise ValueError("n_steps must be a multiple of chunk_steps")
-    for ci in range(n_chunks):
-        carry, xs, us, costs, sts, its = run(
-            *carry, jnp.asarray(ci * chunk, jnp.int32), rt, lb, ub
+        schedule.append(n_steps % chunk)
+    k0 = 0
+    for csize in schedule:
+        carry, xs, us, costs, sts, its = get_run(csize)(
+            *carry, jnp.asarray(k0, jnp.int32), rt, lb, ub
         )
         pieces.append((xs, us, costs, sts, its))
-        if n_chunks > 1:
+        k0 += csize
+        if len(schedule) > 1:
             jax.block_until_ready(carry[0])
     x_fin = carry[0]
     xs, us, costs, sts, its = (

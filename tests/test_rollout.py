@@ -158,5 +158,13 @@ class TestRunnerCaching:
                               np.asarray(r_chunk.states))
         assert np.array_equal(np.asarray(r_full.iterations),
                               np.asarray(r_chunk.iterations))
-        with pytest.raises(ValueError):
-            nlmpc_rollout(c2, plant, x0, u0, 5, chunk_steps=2)
+        # ragged final chunk: 5 steps as 2/2/1 device programs, still
+        # bitwise-identical to the one-shot prefix of the same loop
+        c3 = make_vdp_controller()
+        r5_full = nlmpc_rollout(c3, plant, x0, u0, 5)
+        c4 = make_vdp_controller()
+        r5_chunk = nlmpc_rollout(c4, plant, x0, u0, 5, chunk_steps=2)
+        assert np.array_equal(np.asarray(r5_full.inputs),
+                              np.asarray(r5_chunk.inputs))
+        assert np.array_equal(np.asarray(r5_full.states),
+                              np.asarray(r5_chunk.states))
