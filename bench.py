@@ -176,16 +176,22 @@ def main():
     cg = _golden_check(c, dims, dtype)
 
     env_int = lambda name, dflt: int(os.environ.get(name, dflt))
-    # measured f32 matmul ceiling: the roofline denominator of every
-    # pct_matmul_peak field (highest-precision f32 matmuls decompose into
-    # bf16 MXU passes, so nominal bf16 peak is unreachable by construction)
+    # measured ceilings: the two roofline denominators.  pct_matmul_peak
+    # relates sustained FLOP/s to the measured f32 matmul ceiling
+    # (highest-precision f32 matmuls decompose into bf16 MXU passes, so
+    # nominal bf16 peak is unreachable by construction); pct_hbm_peak
+    # relates modeled HBM traffic to the measured streaming bandwidth
+    # (utils/flops.py bytes models) — together they name which ceiling
+    # binds each kernel (docs/performance.md, round-5 task #3).
     from libmpc_tpu.utils import flops as fl
     matmul_peak = fl.measure_matmul_peak(
         size=env_int("LIBMPC_PEAK_SIZE", 4096))
+    hbm_peak = fl.measure_hbm_peak(
+        size_mb=env_int("LIBMPC_HBM_PROBE_MB", 256))
 
     closed_loop = _closed_loop_bench(
         B=env_int("LIBMPC_CL_B", 16384), K=env_int("LIBMPC_CL_K", 16),
-        matmul_peak=matmul_peak)
+        matmul_peak=matmul_peak, hbm_peak=hbm_peak)
     nlmpc_cl = _nlmpc_closed_loop_bench(
         B=env_int("LIBMPC_NL_CL_B", 4096), K=env_int("LIBMPC_NL_CL_K", 16))
     osc = _nlmpc_osc_bench(
@@ -199,12 +205,18 @@ def main():
     # reference-equivalent CPU anchor (misc/reference_anchor.py)
     anchor_path = os.path.join(os.path.dirname(__file__), "BASELINE_ANCHOR.json")
     vs_ref = None
+    anchor = {}
     if os.path.exists(anchor_path):
         with open(anchor_path) as fh:
             anchor = json.load(fh)
         ref_rate = anchor.get("lmpc_quadrotor", {}).get("solves_per_s")
         if ref_rate:
             vs_ref = round(float(solves_per_s) / float(ref_rate), 1)
+
+    latency = (
+        {} if os.environ.get("LIBMPC_SKIP_LATENCY")
+        else _latency_bench(anchor=anchor)
+    )
 
     # useful-FLOP accounting of the headline row: ADMM iterations +
     # termination checks at the measured mean iteration count (polish and
@@ -214,6 +226,10 @@ def main():
     flops_per_solve = fl.admm_solve_flops(
         dims.nz, dims.m, it_mean, base_params.check_termination)
     headline_tflops = flops_per_solve * solves_per_s / 1e12
+    bytes_per_solve = fl.admm_solve_bytes(
+        dims.nz, dims.m, it_mean, base_params.check_termination,
+        use_pallas=base_params.use_pallas)
+    headline_gbs = bytes_per_solve * solves_per_s / 1e9
 
     out = {
         "metric": "quadrotor_lmpc_batched_solves_per_s",
@@ -229,6 +245,9 @@ def main():
         "tflops": round(headline_tflops, 3),
         "pct_matmul_peak": round(100.0 * headline_tflops / matmul_peak, 2),
         "matmul_peak_tflops_f32": round(matmul_peak, 2),
+        "gbs": round(headline_gbs, 1),
+        "pct_hbm_peak": round(100.0 * headline_gbs / hbm_peak, 2),
+        "hbm_peak_gbs": round(hbm_peak, 1),
         "nlmpc_vdp_solves_per_s": nlmpc_rate,
         "nlmpc_success_frac": nlmpc_success,
         "nlmpc_batch": nlmpc_batch,
@@ -238,6 +257,7 @@ def main():
     out.update(nlmpc_cl)
     out.update(osc)
     out.update(ugv)
+    out.update(latency)
     if _BACKEND_NOTE:
         out["backend_note"] = _BACKEND_NOTE
     print(json.dumps(out))
@@ -268,7 +288,8 @@ def _closed_loop_params():
     )
 
 
-def _closed_loop_bench(B: int = 16384, K: int = 16, matmul_peak=None):
+def _closed_loop_bench(B: int = 16384, K: int = 16, matmul_peak=None,
+                       hbm_peak=None):
     """Plant-coupled receding-horizon LMPC: the ENTIRE closed loop — solver
     and disturbed plant — runs on device as one lax.scan
     (libmpc_tpu/rollout.py), mirroring the reference's application pattern
@@ -344,6 +365,13 @@ def _closed_loop_bench(B: int = 16384, K: int = 16, matmul_peak=None):
     }
     if matmul_peak:
         out["closed_loop_pct_matmul_peak"] = round(100.0 * tfl / matmul_peak, 2)
+    if hbm_peak:
+        gbs = (fl.admm_solve_bytes(c.dims.nz, c.dims.m, float(iters.mean()),
+                                   params.check_termination,
+                                   use_pallas=params.use_pallas)
+               * rate / 1e9)
+        out["closed_loop_gbs"] = round(gbs, 1)
+        out["closed_loop_pct_hbm_peak"] = round(100.0 * gbs / hbm_peak, 2)
 
     # f64-oracle comparisons (misc/closed_loop_ref.py, B=1024 committed)
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -780,6 +808,158 @@ def _ugv_bench(B: int = 1024, K: int = 150):
         out["ugv_goal_frac_f64"] = round(float(np.mean(ogoal < 0.05)), 4)
         out["ugv_avoid_frac_f64"] = round(
             float(np.mean(odmin >= float(radii[0]) - 1e-2)), 4)
+    return out
+
+
+def _latency_bench(batches=(1, 16, 64, 256), anchor=None):
+    """Real-time latency table (round-5 task #4): synchronized single-solve
+    latency — what one control loop sees per step, including one transport
+    round trip — at small batch sizes, warm and cold, for quadrotor LMPC
+    and Van der Pol NLMPC.  The reference is a single-instance real-time
+    controller (its benchmark story is per-process timing,
+    misc/benchmark.py of the reference); these are the numbers a user
+    replacing it with this framework at batch ~1 actually gets, honest
+    losses included.  ``latency_*_crossover_batch`` is the smallest
+    measured batch where the TPU clears B solves faster than the CPU
+    anchor clears them sequentially (B * anchor_ms).
+    """
+    import functools
+
+    from __graft_entry__ import _quadrotor_setup
+    from libmpc_tpu.lmpc.controller import build_prepared, solve_body
+
+    dtype = jnp.float32
+    out = {}
+    anchor = anchor or {}
+    lmpc_anchor_ms = anchor.get("lmpc_quadrotor", {}).get("per_solve_ms")
+    nlmpc_anchor_ms = anchor.get("nlmpc_vanderpol", {}).get("per_solve_ms_mean")
+
+    # -- quadrotor LMPC ----------------------------------------------------
+    c = _quadrotor_setup(dtype)
+    params = _closed_loop_params()
+    c.set_optimizer_parameters(params)
+    dims, prob = c.dims, c._prob
+    built = build_prepared(dims, params, prob,
+                           c._y_ref, c._u_ref, c._du_ref, c._u_meas)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(prob, x0, u0, warm_x, warm_y, have_warm, built):
+        result, seq, sol_x, sol_y, iters = solve_body(
+            dims, params, prob, x0, u0,
+            c._y_ref, c._u_ref, c._du_ref, c._u_meas,
+            warm_x, warm_y, have_warm, jnp.zeros_like(u0),
+            built=built,
+        )
+        return result, sol_x, sol_y
+
+    rng = np.random.default_rng(3)
+    lmpc_warm = {}
+    for B in batches:
+        x0h = 0.05 * rng.normal(size=(B, 12))
+        x0 = jnp.asarray(x0h, dtype)
+        u0 = jnp.zeros((B, 4), dtype)
+        wx0 = jnp.zeros((B, dims.nz), dtype)
+        wy0 = jnp.zeros((B, dims.m), dtype)
+        # compile + reach the warm steady state
+        res, wx, wy = step(prob, x0, u0, wx0, wy0, jnp.asarray(False), built)
+        res, wx, wy = step(prob, x0, res.cmd, wx, wy, jnp.asarray(True), built)
+        jax.block_until_ready(res.cmd)
+        # warm: synchronized steady-state re-solves; per-rep ulp offsets on
+        # x0 defeat the transport's (executable, input) result cache
+        lat = []
+        u = res.cmd
+        for r in range(20):
+            x0r = x0 + jnp.asarray(1e-6 * (r + 1), dtype)
+            t0 = time.perf_counter()
+            res, wx, wy = step(prob, x0r, u, wx, wy, jnp.asarray(True), built)
+            jax.block_until_ready(res.cmd)
+            lat.append(time.perf_counter() - t0)
+            u = res.cmd
+        warm_ms = float(np.median(lat) * 1e3)
+        # cold: no warm state at all (the first solve of a deployment)
+        lat_c = []
+        for r in range(8):
+            x0r = x0 + jnp.asarray(1e-6 * (r + 1), dtype)
+            t0 = time.perf_counter()
+            res_c, _, _ = step(prob, x0r, u0, wx0, wy0,
+                               jnp.asarray(False), built)
+            jax.block_until_ready(res_c.cmd)
+            lat_c.append(time.perf_counter() - t0)
+        out[f"latency_lmpc_b{B}_warm_ms"] = round(warm_ms, 3)
+        out[f"latency_lmpc_b{B}_cold_ms"] = round(
+            float(np.median(lat_c) * 1e3), 3)
+        lmpc_warm[B] = warm_ms
+    if lmpc_anchor_ms:
+        cross = [B for B in batches if lmpc_warm[B] < B * lmpc_anchor_ms]
+        out["latency_lmpc_anchor_ms"] = round(float(lmpc_anchor_ms), 3)
+        out["latency_lmpc_crossover_batch"] = min(cross) if cross else -1
+
+    # -- Van der Pol NLMPC -------------------------------------------------
+    from libmpc_tpu import NLParameters
+
+    nl_params = NLParameters(maximum_iteration=30, enable_warm_start=True,
+                             inner_qp="fused", hessian_reg="gershgorin")
+    nl_warm = {}
+    for B in batches:
+        c_nl, _ = _make_vdp(dtype, nl_params)
+        c_nl.set_stats_mode("lazy")  # timing is explicit below
+        x0h = np.asarray(rng.uniform(-1, 1, size=(B, 2)), np.float32)
+        u0h = np.zeros((B, 1), np.float32)
+        res = c_nl.optimize(x0h, u0h)
+        res = c_nl.optimize(x0h, res.cmd)
+        jax.block_until_ready(res.cmd)
+        lat = []
+        for r in range(20):
+            x0r = x0h + 1e-6 * (r + 1)
+            t0 = time.perf_counter()
+            res = c_nl.optimize(x0r, res.cmd)
+            jax.block_until_ready(res.cmd)
+            lat.append(time.perf_counter() - t0)
+        warm_ms = float(np.median(lat) * 1e3)
+        lat_c = []
+        for r in range(8):
+            c_nl._first_iteration = True  # forces the cold init path
+            x0r = x0h + 1e-6 * (r + 1)
+            t0 = time.perf_counter()
+            res_c = c_nl.optimize(x0r, u0h)
+            jax.block_until_ready(res_c.cmd)
+            lat_c.append(time.perf_counter() - t0)
+        out[f"latency_nlmpc_b{B}_warm_ms"] = round(warm_ms, 3)
+        out[f"latency_nlmpc_b{B}_cold_ms"] = round(
+            float(np.median(lat_c) * 1e3), 3)
+        nl_warm[B] = warm_ms
+    if nlmpc_anchor_ms:
+        cross = [B for B in batches if nl_warm[B] < B * nlmpc_anchor_ms]
+        out["latency_nlmpc_anchor_ms"] = round(float(nlmpc_anchor_ms), 3)
+        out["latency_nlmpc_crossover_batch"] = min(cross) if cross else -1
+
+    # -- serving deadline datapoint ---------------------------------------
+    # can the TPU hold the CPU anchor's own single-solve budget while
+    # serving a whole batch?  deadline = the anchor's mean per-solve time
+    # (13.7 ms for the quadrotor QP); hit = synchronized step under the
+    # deadline with a SUCCESS/INACCURATE status.
+    if lmpc_anchor_ms:
+        B = 256
+        x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
+        u0 = jnp.zeros((B, 4), dtype)
+        wx = jnp.zeros((B, dims.nz), dtype)
+        wy = jnp.zeros((B, dims.m), dtype)
+        res, wx, wy = step(prob, x0, u0, wx, wy, jnp.asarray(False), built)
+        jax.block_until_ready(res.cmd)
+        hits, n_steps = 0, 50
+        u = res.cmd
+        for r in range(n_steps):
+            x0r = x0 + jnp.asarray(1e-6 * (r + 1), dtype)
+            t0 = time.perf_counter()
+            res, wx, wy = step(prob, x0r, u, wx, wy, jnp.asarray(True), built)
+            jax.block_until_ready(res.cmd)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            ok = bool(np.all(np.asarray(res.status) == 0))
+            hits += int(ok and dt_ms <= lmpc_anchor_ms)
+            u = res.cmd
+        out["latency_serving_batch"] = B
+        out["latency_serving_deadline_ms"] = round(float(lmpc_anchor_ms), 3)
+        out["latency_serving_hit_frac"] = round(hits / n_steps, 4)
     return out
 
 

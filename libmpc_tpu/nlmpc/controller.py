@@ -515,7 +515,7 @@ class NLMPC:
             gather those instances and finish only them (the slowest few
             no longer drag the whole batch through every SQP iteration —
             same per-instance iteration sequence either way)."""
-            vz = jax.vmap(z_init, in_axes=(0, None, 0, 0, 0, b_axis, b_axis))
+            vz = jax.vmap(z_init, in_axes=(0, 0, 0, 0, 0, b_axis, b_axis))
             vbegin = jax.vmap(begin, in_axes=(0, 0, p_axis, b_axis, b_axis))
             vchunk = jax.vmap(
                 chunk, in_axes=(0, 0, 0, p_axis, b_axis, b_axis, None, None)
@@ -593,7 +593,7 @@ class NLMPC:
                 fn = (
                     jax.vmap(
                         solve_one,
-                        in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis,
+                        in_axes=(0, 0, 0, 0, 0, p_axis, b_axis, b_axis,
                                  None),
                     )
                     if batched
@@ -632,6 +632,19 @@ class NLMPC:
             and self._opt_vector is not None
             and self._opt_vector.shape[:-1] == batch
         )
+        # per-lane warm flag: under cold_restart_on_failure, lanes whose
+        # previous solve FAILED re-enter from the cold initial guess (see
+        # NLParameters.cold_restart_on_failure)
+        use_arr = jnp.broadcast_to(jnp.asarray(use_prev), batch)
+        if (
+            use_prev
+            and batch
+            and self._params.cold_restart_on_failure
+            and self._result.status.shape == batch
+        ):
+            use_arr = use_arr & (
+                self._result.status != int(ResultStatus.ERROR)
+            )
         z_prev = (
             self._opt_vector
             if use_prev
@@ -662,7 +675,7 @@ class NLMPC:
         t0 = _time.monotonic()
         lb, ub, _ = self._bounds_args()
         result, seq, z_out, slack, iters = self._solve_fn(
-            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
+            z_prev, use_arr, x0, last_u, slack0, prev_cmd,
             self._runtime_params, lb, ub, jnp.asarray(iter_budget, jnp.int32),
         )
         # "sync" stats: block for the device result so profiler/budgeter see

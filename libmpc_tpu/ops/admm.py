@@ -1224,14 +1224,16 @@ def _admm_solve_hp(
     ls = jnp.where(l <= -INF_BOUND, l, l * e[None, :])
     us = jnp.where(u >= INF_BOUND, u, u * e[None, :])
 
-    if params.cold_start == "kkt":
+    y_seed = jnp.zeros((B, m), dtype)
+    if params.cold_start in ("kkt", "kkt_duals"):
         # seed the cold start at the minimizer of the rho-weighted
         # equality-anchored quadratic model: one ADMM x-update evaluated at
         # z = clip(0, l, u) (which IS the equality RHS on equality rows),
         # y = 0 — a single matmul against the already-prepared KKT inverse.
-        # Measured on the quadrotor closed loop: the cold solve's ~220
-        # iterations drop to the warm regime's level (misc/tpu_sweep.py
-        # cold_start section).
+        # Measured on the quadrotor closed loop (round 4): the PRIMAL-only
+        # seed increased cold iterations (209.8 vs 195.1 mean) — a good
+        # primal with zero duals starts the ADMM off the central path —
+        # which is why "zeros" stayed the default.
         rho_vec0 = _rho_vec_of(
             jnp.clip(jnp.asarray(params.rho, dtype),
                      *_rho_bounds(dtype, params)[1:]),
@@ -1239,6 +1241,15 @@ def _admm_solve_hp(
         )
         z_t = jnp.clip(0.0, ls, us)
         x_seed = ((rho_vec0 * z_t) @ As - qs) @ prepared.Minv0
+        if params.cold_start == "kkt_duals":
+            # round-5 attempt 2 (the round-4 rejection's own diagnosis):
+            # seed the DUALS too, from the seeded primal's constraint
+            # activity — y0 = rho (A x_seed - clip(A x_seed, l, u)) is the
+            # dual step ADMM itself would take from (x_seed, y=0), so the
+            # pair starts consistent with the central path instead of
+            # bolting a good primal onto zero multipliers.
+            Ax = x_seed @ As.T
+            y_seed = rho_vec0 * (Ax - jnp.clip(Ax, ls, us))
     else:
         x_seed = jnp.zeros((B, n), dtype)
 
@@ -1258,11 +1269,11 @@ def _admm_solve_hp(
                 hw2,
                 (jnp.zeros((B, m), dtype) if warm_y is None
                  else warm_y / e[None, :] * c),
-                0.0,
+                y_seed,
             )
     else:
         x0 = x_seed
-        y0 = jnp.zeros((B, m), dtype)
+        y0 = y_seed
 
     if iter_budget is None:
         iter_budget = jnp.asarray(NO_BUDGET, jnp.int32)

@@ -478,17 +478,26 @@ def _sqp_solve_hp(
             rho_q = (1e4 if f32 else 1e8) * dual_scale * (
                 1.0 + jnp.sum(jnp.abs(ce)) + jnp.sum(ci_pos)
             )
+            # escalating IPM cap: the base cap serves the healthy majority
+            # (their lanes retire at the ~20-iteration Mehrotra plateau or
+            # the stall freeze); a lane whose previous direction FAILED the
+            # merit line search gets the deep recovery cap on its next
+            # subproblem — a traced per-lane loop bound, so the lockstep
+            # batch only pays for depth on the rare steps a lane needs it.
+            # Round-4 flat-cap A/B on the nz=301 oscillator bench: flat 30
+            # -> 461 solves/s at 0.991 success (truncated directions fail
+            # the line search repeatedly); flat 45 -> 328 at 0.999 (every
+            # step pays the tail's depth).  The escalation keeps both.
+            it_base = params.inner_iters or 30
+            it_deep = params.inner_iters_recovery or max(2 * it_base, 60)
+            ipm_cap = jnp.where(
+                s.ls_fails > 0, it_deep, it_base
+            ).astype(jnp.int32)
             ip = trajectory_kkt.ipm_solve(
                 traj_plan, B, g, Je, ce, Ji, ci,
                 lb - s.z, ub - s.z, rho_q,
-                # 45 iterations bounds the slowly-improving ~1% tail
-                # whose half-converged directions otherwise fail the line
-                # search repeatedly (A/B: flat 30 -> 461 solves/s at 0.991
-                # success on the nz=301 oscillator bench; flat 45 -> 339
-                # at 0.999); the per-lane stall freeze inside ipm_solve
-                # lets healthy lanes retire at their ~22-30 plateau so the
-                # lockstep batch rarely pays the full cap
-                n_iters=45,
+                n_iters=max(it_base, it_deep),
+                lane_cap=ipm_cap,
                 eps=1e-7 if f32 else 1e-10,
                 h_blocks=gn_blocks if use_gn else None,
                 # NO dual warm start: carrying the previous subproblem's

@@ -561,6 +561,12 @@ def ipm_solve(
     ub: jax.Array,  # (nz,) box upper on d (may be +inf)
     rho_q: jax.Array,  # elastic quadratic penalty (see ops/sqp.py pdip branch)
     n_iters: int = 30,
+    lane_cap=None,  # optional traced per-lane iteration cap <= n_iters;
+    # folded into the done mask, NOT the loop bound — a traced
+    # while-loop bound faults the axon TPU transport (measured:
+    # deterministic "TPU device error" on the UGV rollout), so the
+    # compiled loop keeps the static n_iters trip bound and capped
+    # lanes simply freeze early like converged/stalled ones
     eps: float = 1e-8,
     eps_res: Optional[float] = None,
     tau: float = 0.995,
@@ -767,6 +773,7 @@ def ipm_solve(
         res_chk: jax.Array  # iteration (see `stalled` below)
         stall_ct: jax.Array
         stall_frz: jax.Array  # lane was frozen by the stall detector
+        cap_frz: jax.Array  # lane was frozen by its per-lane cap
 
     b_u = -ci
     b_hi = ubf  # d <= ub (caller passes ub - z etc.)
@@ -988,9 +995,19 @@ def ipm_solve(
             & jnp.isfinite(alpha)
         )
         fail = st.fail | (~st.done & ~conv & ~step_ok)
-        done = st.done | conv | ~step_ok | stalled
+        done_now = conv | ~step_ok | stalled
         stall_frz = st.stall_frz | (~st.done & stalled & ~conv & step_ok)
-        upd = ~done
+        # per-lane cap: the capped lane still APPLIES this iteration's
+        # update (matching what the static loop bound would do), then
+        # freezes; its verdict routes through the relaxed final check,
+        # never plain SOLVED (see cap_frz below)
+        if lane_cap is not None:
+            cap_hit = (st.it + 1) >= lane_cap
+        else:
+            cap_hit = jnp.asarray(False)
+        cap_frz = st.cap_frz | (~st.done & ~done_now & cap_hit)
+        done = st.done | done_now | cap_hit
+        upd = ~(st.done | done_now)
         return St(
             d=jnp.where(upd, st.d + alpha * dd, st.d),
             xi=jnp.where(upd, st.xi + alpha * dxi, st.xi),
@@ -1010,6 +1027,7 @@ def ipm_solve(
             res_chk=jnp.where(st.done, st.res_chk, res),
             stall_ct=stall_ct,
             stall_frz=stall_frz,
+            cap_frz=cap_frz,
         )
 
     init = St(
@@ -1023,6 +1041,7 @@ def ipm_solve(
         res_chk=jnp.asarray(jnp.inf, dtype),
         stall_ct=jnp.asarray(0, jnp.int32),
         stall_frz=jnp.asarray(False),
+        cap_frz=jnp.asarray(False),
     )
     st = jax.lax.while_loop(lambda s: ~s.done & (s.it < n_iters), body, init)
     _, _, _, res_fin = kkt_res(st)
@@ -1031,16 +1050,21 @@ def ipm_solve(
         + jnp.sum(jnp.where(mask_hi, st.lam_hi * st.s_hi, 0.0))
         + jnp.sum(jnp.where(mask_lo, st.lam_lo * st.s_lo, 0.0))
     ) / n_real
-    gap = jnp.where(st.done, st.gap, mu_fin)
-    res = jnp.where(st.done, st.res, res_fin)
+    # cap-frozen lanes report their FINAL post-update residuals (exactly
+    # what a static loop bound would have produced)
+    fresh = ~st.done | st.cap_frz
+    gap = jnp.where(fresh, mu_fin, st.gap)
+    res = jnp.where(fresh, res_fin, st.res)
     # status honesty (mirrors the ADMM stall detector's verdicts,
-    # ops/admm.py:590-603): a lane frozen by the stall detector did NOT
-    # meet the convergence test — it never reports plain SOLVED.  Within
-    # the 10x residual band around the tolerance it reports
+    # ops/admm.py:590-603): a lane frozen by the stall detector or its
+    # per-lane cap did NOT meet the convergence test — it never reports
+    # plain SOLVED unless the relaxed final verdict independently passes.
+    # Stall-frozen lanes within the 10x residual band report
     # OSQP_SOLVED_INACCURATE (the f32 noise-floor case the freeze exists
-    # for); outside it, OSQP_MAX_ITER_REACHED.
+    # for); otherwise OSQP_MAX_ITER_REACHED.
     ok = ~st.stall_frz & (
-        (st.done & ~st.fail) | ((gap < 1e3 * eps) & (res < 1e2 * eps_res))
+        (st.done & ~st.fail & ~st.cap_frz)
+        | ((gap < 1e3 * eps) & (res < 1e2 * eps_res))
     )
     inacc = st.stall_frz & (res < 10.0 * eps_res)
     return TrajIPMSolution(

@@ -251,6 +251,7 @@ class NLMPCFleet:
         self._opt_vector = None
         self._slack = None
         self._prev_cmd = None  # hold-last-command state, carried across steps
+        self._prev_status = None  # per-lane cold_restart_on_failure state
         self._budgeter = deadline.IterationBudgeter()
         self._budget_key = None
         self._step_fn = None
@@ -272,7 +273,7 @@ class NLMPCFleet:
                  iter_budget):
             sol, X, U, Y, slack, feas = jax.vmap(
                 solve_one,
-                in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis, None),
+                in_axes=(0, 0, 0, 0, 0, p_axis, b_axis, b_axis, None),
             )(z_prev, use_prev, x0, u0, slack0, p, lb, ub, iter_budget)
             result, seq = c._pack_result(sol, X, U, Y, feas, prev_cmd)
             stats = _local_stats(result.status, sol.iters, axis)
@@ -281,8 +282,8 @@ class NLMPCFleet:
         sharded = jax.shard_map(
             step,
             mesh=self.mesh,
-            in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis), p_spec,
-                      b_spec, b_spec, P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      p_spec, b_spec, b_spec, P()),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
             check_vma=False,
         )
@@ -333,10 +334,23 @@ class NLMPCFleet:
             self._budget_key = B
         iter_budget = self._budgeter.budget(c._params.time_limit)
 
+        # per-lane warm flag: under cold_restart_on_failure, lanes whose
+        # previous solve FAILED re-enter from the cold initial guess
+        use_arr = jnp.broadcast_to(jnp.asarray(use_prev), (B,))
+        if (
+            use_prev
+            and c._params.cold_restart_on_failure
+            and self._prev_status is not None
+            and self._prev_status.shape == (B,)
+        ):
+            use_arr = use_arr & (
+                self._prev_status != int(ResultStatus.ERROR)
+            )
+
         t0 = _time.monotonic()
         lb, ub, _ = c._bounds_args()
         result, seq, z_out, slack, stats = self._step_fn(
-            z_prev, jnp.asarray(use_prev), x0, last_u, slack0, prev_cmd,
+            z_prev, use_arr, x0, last_u, slack0, prev_cmd,
             c._runtime_params, lb, ub, jnp.asarray(iter_budget, jnp.int32),
         )
         jax.block_until_ready(result.cmd)
@@ -345,4 +359,5 @@ class NLMPCFleet:
         )
         self._opt_vector, self._slack = z_out, slack
         self._prev_cmd = result.cmd
+        self._prev_status = result.status
         return result, stats

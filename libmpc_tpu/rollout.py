@@ -147,12 +147,18 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
         p_axis = 0 if (c._runtime_params_batched or
                        (params_fn is not None and batch)) else None
         b_axis = 0 if b_batched else None
+        # per-lane warm flag: lets cold_restart_on_failure re-enter ONLY
+        # the failed lanes from the cold initial guess next step
         solve = (
             jax.vmap(solve_one,
-                     in_axes=(0, None, 0, 0, 0, p_axis, b_axis, b_axis))
+                     in_axes=(0, 0, 0, 0, 0, p_axis, b_axis, b_axis))
             if batch
             else solve_one
         )
+        from .types import ResultStatus as _RS
+
+        err_code = int(_RS.ERROR)
+        restart = c._params.cold_restart_on_failure
 
         @jax.jit
         def run(x0, u0, z0, slack0, hw0, k0, p, lb, ub):
@@ -163,7 +169,12 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
                 result, seq = c._pack_result(sol, X, U, Y, feas, u)
                 x_next = plant_fn(x, result.cmd, k)
                 out = (x, result.cmd, result.cost, result.status, sol.iters)
-                return (x_next, result.cmd, sol.z, slack_n, jnp.asarray(True)), out
+                hw_n = (
+                    result.status != err_code
+                    if restart
+                    else jnp.ones_like(hw)
+                )
+                return (x_next, result.cmd, sol.z, slack_n, hw_n), out
 
             carry_fin, (xs, us, costs, sts, its) = jax.lax.scan(
                 step, (x0, u0, z0, slack0, hw0), k0 + jnp.arange(csize)
@@ -179,7 +190,7 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
         x0, last_u,
         jnp.zeros(batch + (dims.nz,), c.dtype),
         jnp.zeros(batch, c.dtype),
-        jnp.asarray(False),
+        jnp.zeros(batch, bool),
     )
     pieces = []
     schedule = [chunk] * (n_steps // chunk)

@@ -171,7 +171,12 @@ class LParameters(Parameters):
     # (209.8 vs 195.1 mean) — a good primal with zero duals starts the
     # ADMM off the central path — so the origin stays the default; the
     # option remains for problem families where the equality-anchored
-    # seed lands nearer the constrained optimum.
+    # seed lands nearer the constrained optimum.  "kkt_duals" (round-5
+    # attempt 2, acting on that diagnosis) additionally seeds the duals
+    # from the seeded primal's constraint activity,
+    # y0 = rho (A x_seed - clip(A x_seed, l, u)) — the dual step ADMM
+    # itself would take — so the pair starts consistent; see
+    # docs/performance.md for the measured verdict.
     cold_start: str = "zeros"
     # advance the warm start one stage along the horizon before each solve
     # (receding-horizon realignment; lmpc/problem.py::shift_warm_start).
@@ -255,6 +260,29 @@ class NLParameters(Parameters):
     # misc/results/SWEEP_TPU_r2_batch2.txt) — worth enabling only when
     # per-instance NLPs are large enough that the straggler tail dominates.
     compact_stragglers: bool = False
+    # trajectory-IPM iteration policy (TPU-native extension, applies to the
+    # "riccati" banded-KKT inner engine only).  ``inner_iters`` caps the
+    # Mehrotra IPM per subproblem; after an outer SQP line-search failure
+    # the FAILING lane's cap escalates to ``inner_iters_recovery`` (a
+    # traced per-lane bound — healthy lanes in the lockstep batch retire
+    # at the base cap, so the deep cap is paid only on the rare steps
+    # where some lane actually needs a better direction).  0 selects the
+    # engine defaults (30/60; see ops/sqp.py for the measured A/B).
+    inner_iters: int = 0
+    inner_iters_recovery: int = 0
+    # per-lane warm-start reset after a FAILED solve (TPU-native
+    # extension, closed-loop rollouts).  A lane whose solve ended
+    # roundoff-limited at an infeasible point carries its stuck iterate
+    # into the next step's (shifted) warm start and tends to stay stuck
+    # for several consecutive steps while the held command drives the
+    # plant blind (measured on the UGV obstacle benchmark: every f32
+    # obstacle incursion coincides with such a failure run,
+    # misc/diagnose_ugv.py).  With this flag the failed lane re-enters
+    # from the cold initial guess (X=x0, U=u0) at the next step instead —
+    # healthy lanes keep their warm starts.  The reference carries its
+    # opt_vector unconditionally (NLOptimizer.hpp:426-510); this is a
+    # deliberate, measured deviation for failure recovery.
+    cold_restart_on_failure: bool = False
 
 
 @jax.tree_util.register_dataclass

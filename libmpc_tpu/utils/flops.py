@@ -95,6 +95,116 @@ def fused_sqp_iter_flops(nz: int, me: int, mi: int,
     return inner + factor + jac
 
 
+# ---------------------------------------------------------------------------
+# HBM-traffic (bytes) models — the second roofline axis (round-5 task #3).
+#
+# Counting rule: bytes of BATCHED (B, n)/(B, m) arrays crossing the HBM
+# boundary at kernel/fusion boundaries, per instance per iteration, f32.
+# Elementwise chains are assumed fused into their producing matmul's
+# epilogue (XLA does this); every matmul boundary materializes its output.
+# Shared (n,n)/(m,n) matrices are read once per GRID, amortized over the
+# batch — negligible per instance at production batch sizes (<=1% at
+# B=16384) and excluded.  The models are therefore *lower bounds* on true
+# traffic (spills and non-fused epilogues add), matching the FLOP models'
+# lower-bound convention: pct_hbm_peak is a floor on how close the kernel
+# runs to its memory-bound light speed.
+# ---------------------------------------------------------------------------
+
+
+def admm_xla_iter_bytes(n: int, m: int, x_refine: bool = True,
+                        itemsize: int = 4) -> float:
+    """HBM bytes of one XLA-path ADMM iteration for one instance.
+
+    Op-by-op (ops/admm.py::one_iteration): rhs build reads z,y,x,q writes
+    rhs (2m+3n+n); x-update reads rhs writes xt (2n); zt=xt@A' reads xt
+    writes zt (n+m); z/y/x epilogue reads zt,z,y,l,u,xt,x writes x,z,y
+    (5m+2n + n+2m).  Refinement adds xt@M and the correction matmul
+    (reads 3n, writes 2n).
+    """
+    floats = 10.0 * m + 14.0 * n
+    if x_refine:
+        floats += 5.0 * n
+    return itemsize * floats
+
+
+def admm_pallas_block_bytes(n: int, m: int, itemsize: int = 4) -> float:
+    """HBM bytes of one fused-Pallas iteration BLOCK for one instance.
+
+    The kernel (ops/admm_pallas.py) keeps the batch tile resident in VMEM
+    for all ``check_termination`` iterations: per block it reads
+    (x,z,y,done,q,l,u) and writes (x,z,y) exactly once — iteration-loop
+    traffic is amortized over the whole block.
+    """
+    reads = 2.0 * n + 4.0 * m + 1.0
+    writes = n + 2.0 * m
+    return itemsize * (reads + writes)
+
+
+def admm_check_bytes(n: int, m: int, itemsize: int = 4) -> float:
+    """HBM bytes of one termination check for one instance (XLA ops).
+
+    Three matvecs materialize Ax, Px, Aty (reads 2n+m, writes 2n+m); the
+    residual/certificate pass reads Ax,z,Px,q,Aty,l,u,x,y,x_prev,y_prev
+    and the infeasibility matvecs add Adx/Atdy/Pdx traffic — counted as
+    ~12m + 10n reads and ~4m + 5n writes.
+    """
+    return itemsize * (16.0 * m + 15.0 * n)
+
+
+def admm_solve_bytes(n: int, m: int, iters: float, check_every: int,
+                     use_pallas: bool = True, x_refine: bool = True) -> float:
+    """HBM bytes of one ADMM solve at a measured iteration count."""
+    checks = max(iters / max(check_every, 1), 1.0)
+    if use_pallas:
+        per_iter = checks * admm_pallas_block_bytes(n, m) / max(iters, 1.0)
+        iter_bytes = iters * per_iter
+    else:
+        iter_bytes = iters * admm_xla_iter_bytes(n, m, x_refine)
+    return iter_bytes + checks * admm_check_bytes(n, m)
+
+
+def measure_hbm_peak(size_mb: int = 256, reps: int = 6) -> float:
+    """Measured sustained HBM bandwidth (GB/s) of a streaming triad
+    ``out = b + 0.5*out`` — the achievable ceiling every ``pct_hbm_peak``
+    figure is computed against.  Uses the same transport-robust protocol
+    as :func:`measure_matmul_peak`: data-dependent chain, scalar fetch
+    sync, two chain lengths differenced to cancel dispatch overheads.
+    Traffic per chain step: read out + read b + write out = 3 arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = size_mb * 1024 * 1024 // 4
+    rng = np.random.default_rng(99)
+    b = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    out0 = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    @jax.jit
+    def triad(out, bb):
+        return bb + 0.5 * out
+
+    @jax.jit
+    def sm(x):
+        return x[0] + x[-1]
+
+    float(sm(triad(out0, b)))  # warm
+
+    def chain_time(k):
+        out = out0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = triad(out, b)
+        float(sm(out))
+        return time.perf_counter() - t0
+
+    n_s, n_l = max(reps, 8), 4 * max(reps, 8)
+    t_s = chain_time(n_s)
+    t_l = chain_time(n_l)
+    dt = max((t_l - t_s) / (n_l - n_s), 1e-9)
+    return 3.0 * n * 4 / dt / 1e9
+
+
 def measure_matmul_peak(dtype_str: str = "float32", size: int = 4096,
                         reps: int = 6) -> float:
     """Measured sustained TFLOP/s of a large square matmul at the solver's

@@ -474,7 +474,7 @@ def section_cold_start(B=4096):
     rng = np.random.default_rng(7)
     x0 = jnp.asarray(0.05 * rng.normal(size=(B, 12)), dtype)
     u0 = jnp.zeros((B, 4), dtype)
-    for cs in ("zeros", "kkt"):
+    for cs in ("zeros", "kkt", "kkt_duals"):
         c = _quadrotor_setup(dtype)
         params = dc.replace(_closed_loop_params(), cold_start=cs)
         c.set_optimizer_parameters(params)

@@ -449,6 +449,22 @@ class TestRound4Knobs:
         # different iterates, same optimum
         assert np.abs(np.asarray(sa.x) - np.asarray(sb.x)).max() < 1e-6
 
+    def test_cold_start_kkt_duals_matches_zeros_when_converged(self):
+        """round-5 knob: the dual-seeded cold start changes the starting
+        point only — converged solves land on the identical optimum."""
+        P, A, q, l, u = self._problem(seed=3)
+        import dataclasses
+        base = LParameters(maximum_iteration=4000, eps_abs=1e-9,
+                           eps_rel=1e-9, polish=False, use_pallas=False,
+                           compact_stragglers=False)
+        sa = admm.admm_solve(P, A, q, l, u,
+                             dataclasses.replace(base, cold_start="zeros"))
+        sb = admm.admm_solve(P, A, q, l, u,
+                             dataclasses.replace(base, cold_start="kkt_duals"))
+        assert (np.asarray(sa.status) == admm.OSQP_SOLVED).all()
+        assert (np.asarray(sb.status) == admm.OSQP_SOLVED).all()
+        assert np.abs(np.asarray(sa.x) - np.asarray(sb.x)).max() < 1e-6
+
     def test_stall_checks_inert_on_f64(self):
         """f64 runs never stall-freeze (the detector is gated to f32):
         identical solver output with the knob on or off."""
