@@ -650,22 +650,28 @@ def _make_ugv(dtype, B):
     c.set_objective_function(objective)
     c.set_ineq_con_function(ineq)
     c.set_runtime_params({"v_pref": jnp.zeros((B, 2), dtype)}, batched=True)
-    # config measured per problem family on TPU v5e (f32, 150-step loops):
-    # - gershgorin Lagrangian-Hessian curvature beats gauss_newton (0.88
-    #   vs 0.62 success at 30 steps: the nonconvex obstacle rows'
-    #   curvature matters) and "power" (0.94 vs 0.98 at 150 steps);
-    # - maximum_iteration=200: the nonconvex rows leave ~2-3% of solves
-    #   converging slowly in f32; 200 lifts 150-step success 0.946 ->
-    #   0.977 (the inner-ADMM engine reaches 0.983 but is ~8x slower —
-    #   misc/results notes);
+    # config from the round-5 hardware grid (misc/ugv_grid.py, f32,
+    # B=256, 150-step loops; per-arm subprocess isolation):
+    # - "eigh" curvature + the warm-started XLA inner-ADMM engine is BOTH
+    #   the safest and the fastest arm: avoid 1.0 / success 0.9996 at
+    #   ~480 solves/s incl. compile, vs the round-4 shipped banded-IPM +
+    #   gershgorin config's avoid 0.945 / success 0.974 at 186/s.  The
+    #   round-4 diagnosis (misc/diagnose_ugv.py) showed every obstacle
+    #   incursion was a FAILURE-HOLD crash — runs of roundoff-limited
+    #   infeasible exits near the obstacle with the held command driving
+    #   in — and the tight eigh curvature model eliminates those line-
+    #   search failures where deeper IPM caps (30/45/60), power,
+    #   gauss_newton (avoid 0.70!) and dense-pdip (0.992) did not.
+    # - cold_restart_on_failure: failed lanes re-enter from the cold
+    #   initial guess next step (goal_frac 0.4531 vs 0.4375 at K=150,
+    #   avoid 1.0 either way).
     # - relative_ftol at an f32-reachable level, the analog of SLSQP's
     #   acc-based stop.
-    # inner_qp="fused" routes to the banded-KKT interior-point engine
-    # (the fused kernel is size-gated out at nz=61).
     c.set_optimizer_parameters(NLParameters(
         maximum_iteration=200, hard_constraints=False,
-        enable_warm_start=True, inner_qp="fused",
-        hessian_reg="gershgorin", relative_ftol=1e-6))
+        enable_warm_start=True, inner_qp="admm",
+        hessian_reg="eigh", relative_ftol=1e-6,
+        cold_restart_on_failure=True))
 
     def params_fn(x, k):
         # renormalized velocity reference toward the goal, per instance
@@ -698,7 +704,8 @@ def _ugv_run_chunks(c, plant, params_fn, x0, K):
     compared trajectories share the identical restart schedule."""
     from libmpc_tpu.rollout import nlmpc_rollout
 
-    chunk = 30 if K % 30 == 0 and K >= 30 else K
+    csize = int(os.environ.get("LIBMPC_UGV_CHUNK", 30))
+    chunk = csize if K % csize == 0 and K >= csize else K
     x = x0
     u = jnp.zeros((x0.shape[0], 2), x0.dtype)
     pieces = []

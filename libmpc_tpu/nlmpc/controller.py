@@ -340,14 +340,16 @@ class NLMPC:
         self._traj_plan = plan, True
         return plan
 
-    def _make_solve_one(self):
+    def _make_solve_one(self, params_override: Optional[NLParameters] = None):
         """Single-instance solve closure (z_prev, use_prev, x0, u0, slack0)
         -> (sqp solution, X, U, Y, slack, feasible); the unit that vmap/
-        shard_map scale over."""
+        shard_map scale over.  ``params_override`` builds the closure with
+        different solver parameters over the same problem (the rollout's
+        compacted rescue phase)."""
         dims = self.dims
         fns = self._fns
         ss, us = self._state_scaling, self._input_scaling
-        params = self._params
+        params = params_override if params_override is not None else self._params
         ineq_tol = self._ineq_tol
         eq_tol = self._eq_tol
 

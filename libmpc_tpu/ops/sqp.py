@@ -478,18 +478,23 @@ def _sqp_solve_hp(
             rho_q = (1e4 if f32 else 1e8) * dual_scale * (
                 1.0 + jnp.sum(jnp.abs(ce)) + jnp.sum(ci_pos)
             )
-            # escalating IPM cap: the base cap serves the healthy majority
-            # (their lanes retire at the ~20-iteration Mehrotra plateau or
-            # the stall freeze); a lane whose previous direction FAILED the
-            # merit line search gets the deep recovery cap on its next
-            # subproblem — a traced per-lane loop bound, so the lockstep
-            # batch only pays for depth on the rare steps a lane needs it.
-            # Round-4 flat-cap A/B on the nz=301 oscillator bench: flat 30
-            # -> 461 solves/s at 0.991 success (truncated directions fail
-            # the line search repeatedly); flat 45 -> 328 at 0.999 (every
-            # step pays the tail's depth).  The escalation keeps both.
-            it_base = params.inner_iters or 30
-            it_deep = params.inner_iters_recovery or max(2 * it_base, 60)
+            # IPM cap policy.  Default: FLAT 45 (the round-4 measured
+            # optimum on the nz=301 oscillator bench: flat 30 -> 461
+            # solves/s at 0.991 success — truncated directions fail the
+            # line search; flat 45 -> 329 at 0.999).  Per-lane escalation
+            # (inner_iters < inner_iters_recovery: a lane whose previous
+            # direction failed the line search gets the deep cap, folded
+            # into the done mask so the compiled loop keeps a static trip
+            # bound) was built and MEASURED SLOWER in round 5: under
+            # vmap the lockstep batch pays the max lane's cap every step,
+            # and failing lanes are per-step common, so esc30/60 ran at
+            # 214 solves/s and esc30/45 at 301 vs flat 45's 329 at equal
+            # success (misc/ab_osc_escalation.py) — the knobs remain for
+            # problem families with genuinely rare deep lanes, and the
+            # two-phase path is the rollout-level compacted rescue
+            # (NLParameters.rescue_iters) instead.
+            it_base = params.inner_iters or 45
+            it_deep = params.inner_iters_recovery or it_base
             ipm_cap = jnp.where(
                 s.ls_fails > 0, it_deep, it_base
             ).astype(jnp.int32)

@@ -160,6 +160,29 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
         err_code = int(_RS.ERROR)
         restart = c._params.cold_restart_on_failure
 
+        # compacted two-phase rescue (NLParameters.rescue_iters): gather
+        # the lanes whose fast-phase solve FAILED and re-solve only those
+        # from the same entry state at the deep IPM cap.  Skipped
+        # entirely (scalar lax.cond) on steps with no failures, so the
+        # deep cap costs compacted-batch time only where a lane needs it
+        # — unlike per-lane cap escalation, which the lockstep batch pays
+        # at full width (measured: misc/ab_osc_escalation.py).
+        rescue_k = 0
+        if c._params.rescue_iters > 0 and batch:
+            B = batch[0]
+            rescue_k = min(B, max(16, B // 16))
+            import dataclasses as _dc
+
+            rescue_params = _dc.replace(
+                c._params, rescue_iters=0,
+                inner_iters=c._params.rescue_iters,
+                inner_iters_recovery=c._params.rescue_iters,
+            )
+            rescue_solve = jax.vmap(
+                c._make_solve_one(rescue_params),
+                in_axes=(0, 0, 0, 0, 0, p_axis, b_axis, b_axis),
+            )
+
         @jax.jit
         def run(x0, u0, z0, slack0, hw0, k0, p, lb, ub):
             def step(carry, k):
@@ -167,14 +190,74 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
                 pk = params_fn(x, k) if params_fn is not None else p
                 sol, X, U, Y, slack_n, feas = solve(z, hw, x, u, slack, pk, lb, ub)
                 result, seq = c._pack_result(sol, X, U, Y, feas, u)
+                z_out, slack_out, iters_out = sol.z, slack_n, sol.iters
+
+                if rescue_k:
+                    failed = result.status == err_code
+
+                    def _rescue(op):
+                        res, z_o, sl_o, it_o = op
+                        _, idx = jax.lax.top_k(
+                            failed.astype(jnp.float32), rescue_k
+                        )
+                        take = lambda a: jnp.take(a, idx, axis=0)
+                        pk_s = (
+                            jax.tree.map(take, pk) if p_axis == 0 else pk
+                        )
+                        lb_s = take(lb) if b_axis == 0 else lb
+                        ub_s = take(ub) if b_axis == 0 else ub
+                        sol2, X2, U2, Y2, sl2, feas2 = rescue_solve(
+                            take(z), take(hw), take(x), take(u),
+                            take(slack), pk_s, lb_s, ub_s,
+                        )
+                        res2, _ = c._pack_result(
+                            sol2, X2, U2, Y2, feas2, take(u)
+                        )
+                        # replace only lanes that actually failed AND whose
+                        # rescue succeeded (top_k pads with healthy lanes;
+                        # a rescue that also failed keeps the original
+                        # hold-last-command result)
+                        good = take(failed) & (res2.status != err_code)
+
+                        def put(a, b):
+                            old = jnp.take(a, idx, axis=0)
+                            g = good.reshape(
+                                good.shape + (1,) * (b.ndim - 1)
+                            )
+                            return a.at[idx].set(jnp.where(g, b, old))
+
+                        res_m = Result(
+                            cmd=put(res.cmd, res2.cmd),
+                            cost=put(res.cost, res2.cost),
+                            status=put(res.status, res2.status),
+                            solver_status=put(
+                                res.solver_status, res2.solver_status
+                            ),
+                            is_feasible=put(
+                                res.is_feasible, res2.is_feasible
+                            ),
+                        )
+                        it2 = jnp.take(it_o, idx, axis=0) + sol2.iters
+                        return (
+                            res_m,
+                            put(z_o, sol2.z),
+                            put(sl_o, sl2),
+                            put(it_o, it2),
+                        )
+
+                    result, z_out, slack_out, iters_out = jax.lax.cond(
+                        jnp.any(failed), _rescue, lambda op: op,
+                        (result, z_out, slack_out, iters_out),
+                    )
+
                 x_next = plant_fn(x, result.cmd, k)
-                out = (x, result.cmd, result.cost, result.status, sol.iters)
+                out = (x, result.cmd, result.cost, result.status, iters_out)
                 hw_n = (
                     result.status != err_code
                     if restart
                     else jnp.ones_like(hw)
                 )
-                return (x_next, result.cmd, sol.z, slack_n, hw_n), out
+                return (x_next, result.cmd, z_out, slack_out, hw_n), out
 
             carry_fin, (xs, us, costs, sts, its) = jax.lax.scan(
                 step, (x0, u0, z0, slack0, hw0), k0 + jnp.arange(csize)

@@ -262,14 +262,27 @@ class NLParameters(Parameters):
     compact_stragglers: bool = False
     # trajectory-IPM iteration policy (TPU-native extension, applies to the
     # "riccati" banded-KKT inner engine only).  ``inner_iters`` caps the
-    # Mehrotra IPM per subproblem; after an outer SQP line-search failure
-    # the FAILING lane's cap escalates to ``inner_iters_recovery`` (a
-    # traced per-lane bound — healthy lanes in the lockstep batch retire
-    # at the base cap, so the deep cap is paid only on the rare steps
-    # where some lane actually needs a better direction).  0 selects the
-    # engine defaults (30/60; see ops/sqp.py for the measured A/B).
+    # Mehrotra IPM per subproblem (0 = the measured flat-45 default);
+    # setting ``inner_iters_recovery`` above it escalates a lane's cap
+    # after an outer line-search failure (folded into the done mask, so
+    # the compiled loop keeps a static trip bound).  Escalation was
+    # measured SLOWER than the flat default on the oscillator bench
+    # (lockstep pays the max lane's cap and failing lanes are per-step
+    # common: esc30/60 214 vs flat45 329 solves/s at equal success,
+    # misc/ab_osc_escalation.py) — the knobs remain for families with
+    # genuinely rare deep lanes; prefer ``rescue_iters`` otherwise.
     inner_iters: int = 0
     inner_iters_recovery: int = 0
+    # compacted two-phase rescue in closed-loop rollouts (TPU-native
+    # extension, rollout.py).  When > 0: each rollout step first solves
+    # the whole batch at the configured (fast) settings, then gathers the
+    # lanes whose solve FAILED — at most max(16, B//16) of them — and
+    # re-solves only those from the same entry state with the IPM cap set
+    # to this value, scattering the recovered results back.  A step with
+    # no failures skips the rescue entirely (scalar lax.cond), so the
+    # deep cap is paid only where a lane actually failed, at compacted
+    # batch cost instead of full-batch lockstep cost.
+    rescue_iters: int = 0
     # per-lane warm-start reset after a FAILED solve (TPU-native
     # extension, closed-loop rollouts).  A lane whose solve ended
     # roundoff-limited at an infeasible point carries its stuck iterate

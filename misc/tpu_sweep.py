@@ -206,7 +206,7 @@ def section_check_every():
     iteration blocks)."""
     from libmpc_tpu import LParameters
 
-    for ce in (10, 15, 25):
+    for ce in (10, 15, 25, 50):
         p = LParameters(maximum_iteration=100, enable_warm_start=True,
                         polish=True, polish_mode="shared", rho=0.01,
                         check_termination=ce)
