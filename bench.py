@@ -87,7 +87,7 @@ def main():
     # float32 iterations drift the iterate before the polish.
     base_params = LParameters(maximum_iteration=100, enable_warm_start=True,
                               polish=True, polish_mode="shared", rho=0.01,
-                              check_termination=10)
+                              cold_rho=0.1, check_termination=10)
     # straggler compaction is new this round and cannot be pre-validated on
     # real hardware from CI: if its program fails to compile/run on the
     # bench device, fall back to full lockstep rather than record nothing
@@ -282,9 +282,19 @@ def _closed_loop_params():
     # built for exactly this workload), shared polish, early checks.
     # maximum_iteration=250 lets the COLD first step converge; warm steps
     # retire at their own (much earlier) checks.
+    # cold_rho=0.1 (round-5 cold-start attempt 2): the warm-regime rho
+    # (0.01) starves the cold first solve — measured A/B on this exact
+    # bench (TPU v5e, B=16384, K=16): cold step 195 -> 53 iterations,
+    # 199.2k -> 240.9k closed-loop solves/s, cold matched-state command
+    # error 6.0e-4 -> 3.1e-4, warm path bitwise untouched.  The dual-
+    # seeded KKT start (cold_start="kkt_duals") was also built and
+    # measured: better than the rejected primal-only seed (202.1 vs
+    # 209.8 cold iters) but still behind plain zeros (195.1) — the rho
+    # escalation is the fix that actually pays.
     return LParameters(
         maximum_iteration=250, enable_warm_start=True, warm_start_shift=True,
-        polish=True, polish_mode="shared", rho=0.01, check_termination=10,
+        polish=True, polish_mode="shared", rho=0.01, cold_rho=0.1,
+        check_termination=10,
     )
 
 
@@ -554,29 +564,35 @@ def _oscillator_dynamics(x, u, step):
     return dx
 
 
-def _nlmpc_osc_bench(B: int = 256, K: int = 8):
-    """Networked-oscillators NLMPC at real size (nz=301): full closed loop
-    on device.  The fused inner-QP engine is size-gated out at this nz;
-    the solve runs gauss_newton curvature (constant objective Hessian, no
-    per-iteration nz^3 eigh) + the banded-KKT interior-point engine
-    (ops/trajectory_kkt.py: the structure-verified bordered
-    block-tridiagonal factorization running as Pallas sweep kernels —
-    round 4's re-architecture; 73.9 -> ~367 solves/s at 0.999 success vs
-    the round-3 dense inner-ADMM fallback)."""
+def _osc_controller(dtype):
     from libmpc_tpu import NLMPC, NLParameters
-    from libmpc_tpu.rollout import nlmpc_rollout
 
-    dtype = jnp.float32
     ph, ch, nx, nu = 20, 10, 12, 6
     c = NLMPC(nx, nu, nx, ph, ch, (ph + 1) * nu, 0, dtype=dtype)
     c.set_discretization_sampling_time(0.1)
     c.set_state_space_function(_oscillator_dynamics)
     c.set_objective_function(lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2))
     c.set_ineq_con_function(lambda X, Y, U, e: (U - 0.5).reshape(-1))
+    # round-5 two-phase configuration (misc/ab_osc_escalation.py A/B):
+    # flat IPM cap 30 for the whole batch (461-465 solves/s at 0.997
+    # success), then the compacted rescue phase re-solves only the failed
+    # lanes at cap 45 (rollout.py, NLParameters.rescue_iters) — 454
+    # solves/s at 0.999, vs round 4's flat-45 328 at 0.999.  Per-lane cap
+    # escalation was measured SLOWER (214-301 solves/s: the lockstep
+    # batch pays the max lane's cap and failing lanes are per-step
+    # common) and rejected.
     c.set_optimizer_parameters(NLParameters(
         maximum_iteration=30, enable_warm_start=True,
         hessian_reg="gauss_newton", inner_qp="fused",  # gated -> riccati
+        inner_iters=30, inner_iters_recovery=30, rescue_iters=45,
     ))
+    return c, 20, 10, 12, 6
+
+
+def _osc_run(B, K, dtype=jnp.float32):
+    from libmpc_tpu.rollout import nlmpc_rollout
+
+    c, ph, ch, nx, nu = _osc_controller(dtype)
     rng = np.random.default_rng(13)
     x0 = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, nx)), dtype)
     noise = jnp.asarray(0.01 * rng.normal(size=(K, B, nx)), dtype)
@@ -594,11 +610,23 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
     r = nlmpc_rollout(c, plant, x0 + jnp.asarray(1e-6, dtype), u0, K)
     jax.block_until_ready(r.inputs)
     rate = B * K / (time.perf_counter() - t0)
+    return rate, r
+
+
+def _nlmpc_osc_bench(B: int = 256, K: int = 8):
+    """Networked-oscillators NLMPC at real size (nz=301): full closed loop
+    on device.  The fused inner-QP engine is size-gated out at this nz;
+    the solve runs gauss_newton curvature (constant objective Hessian, no
+    per-iteration nz^3 eigh) + the banded-KKT interior-point engine
+    (ops/trajectory_kkt.py) with the round-5 two-phase cap policy (flat
+    30 + compacted rescue at 45 — see _osc_controller)."""
+    ph, ch, nx, nu = 20, 10, 12, 6
+    rate, r = _osc_run(B, K)
     iters = np.asarray(r.iterations)
     from libmpc_tpu.utils import flops as fl
     tfl = (fl.sqp_iter_flops(ph, ch, nx, nu, (ph + 1) * nu)
            * float(iters.mean()) * rate / 1e12)
-    return {
+    out = {
         "nlmpc_osc_solves_per_s": round(float(rate), 1),
         "nlmpc_osc_batch": B,
         "nlmpc_osc_steps": K,
@@ -610,6 +638,16 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
         # (libmpc_tpu/utils/flops.py::sqp_iter_flops)
         "nlmpc_osc_tflops_est": round(tfl, 4),
     }
+    # B-scaling curve (round-5 task #2): measured THROUGHPUT-FLAT across
+    # 256-1024 (the engine is compute-bound per lane, not latency-bound),
+    # recorded so the "batch is free throughput" hypothesis has data
+    if not os.environ.get("LIBMPC_SKIP_OSC_SCALING") and B == 256:
+        for Bs in (512, 1024):
+            rs, rr = _osc_run(Bs, max(K // 2, 2))
+            out[f"nlmpc_osc_solves_per_s_b{Bs}"] = round(float(rs), 1)
+            out[f"nlmpc_osc_success_frac_b{Bs}"] = round(
+                float(np.mean(np.asarray(rr.statuses) == 0)), 4)
+    return out
 
 
 def _make_ugv(dtype, B):

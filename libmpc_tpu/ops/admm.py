@@ -1277,10 +1277,40 @@ def _admm_solve_hp(
 
     if iter_budget is None:
         iter_budget = jnp.asarray(NO_BUDGET, jnp.int32)
+
+    # cold-solve rho escalation (params.cold_rho): a cold batch starts at
+    # the stiffer cold rho — its shared KKT factor is built only on the
+    # cold branch of a scalar cond, so warm solves pay nothing.  rho and
+    # the factor are batch-shared, so the escalation applies only when
+    # the WHOLE batch is cold (the closed-loop shape: step 0 cold, every
+    # later step warm).
+    rho0 = params.rho
+    M0_run, Minv0_run = prepared.M0, prepared.Minv0
+    if params.cold_rho > 0:
+        if have_warm is not None:
+            all_warm = jnp.all(jnp.asarray(have_warm))
+        elif warm_x is not None and params.enable_warm_start:
+            all_warm = jnp.asarray(True)
+        else:
+            all_warm = jnp.asarray(False)
+        sigma_v, rho_lo, rho_hi = _rho_bounds(dtype, params)
+        rho_cold = jnp.clip(
+            jnp.asarray(params.cold_rho, dtype), rho_lo, rho_hi
+        )
+        rho0 = jnp.where(all_warm, jnp.asarray(params.rho, dtype), rho_cold)
+        M0_run, Minv0_run = jax.lax.cond(
+            all_warm,
+            lambda: (prepared.M0, prepared.Minv0),
+            lambda: _build_kkt_inverse(
+                Ps, As, _rho_vec_of(rho_cold, eq_mask, loose_mask),
+                jnp.asarray(sigma_v, dtype), axis_rows,
+            ),
+        )
+
     state = _admm_loop(
         Ps, As, qs, ls, us, x0, y0,
-        params.rho, eq_mask, loose_mask, d, e, c,
-        prepared.M0, prepared.Minv0, iter_budget,
+        rho0, eq_mask, loose_mask, d, e, c,
+        M0_run, Minv0_run, iter_budget,
         params, params.maximum_iteration,
         min(params.check_termination, params.maximum_iteration),
         axis_rows, axis_batch,

@@ -178,6 +178,17 @@ class LParameters(Parameters):
     # itself would take — so the pair starts consistent; see
     # docs/performance.md for the measured verdict.
     cold_start: str = "zeros"
+    # cold-solve rho escalation (TPU-native extension, round-5 cold-start
+    # attempt 2c).  When > 0, a solve with NO warm start runs from this
+    # initial rho instead of ``rho`` (its shared KKT factor is built
+    # under a scalar lax.cond, so warm solves pay nothing).  The closed-
+    # loop production rho (0.01) is tuned for the warm regime's f32
+    # iteration floor; the cold first solve prefers a much stiffer
+    # penalty — measured on the quadrotor cold batch (TPU v5e, B=4096):
+    # rho 0.01 -> 195.1 mean iterations (p50 AT the 250 cap), rho 0.1 ->
+    # 52.3 (p50 40), with adaptive rho handling the rest of the path.
+    # 0 disables (cold solves use ``rho``, OSQP parity).
+    cold_rho: float = 0.0
     # advance the warm start one stage along the horizon before each solve
     # (receding-horizon realignment; lmpc/problem.py::shift_warm_start).
     # The reference reuses the previous solution unshifted

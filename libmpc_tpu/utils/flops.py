@@ -29,9 +29,10 @@ multiply in the caller):
   tangents ~ 2·nz·(me+mi)·c_model with c_model ~ 3 ops per output
   (tracking-cost/polynomial models), line-search/merit ~ (me+mi)·nz.
 
-The models are documented here once and unit-tested for shape consistency
-(tests/test_misc_harness.py); bench.py multiplies them by measured
-iteration counts so every throughput row carries a FLOP/s figure.
+The models are documented here once and unit-tested for structural sanity
+(tests/test_utils.py::TestRooflineModels); bench.py multiplies them by
+measured iteration counts so every throughput row carries FLOP/s and
+bytes/s figures against the measured matmul and HBM ceilings.
 """
 
 from __future__ import annotations

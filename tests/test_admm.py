@@ -465,6 +465,33 @@ class TestRound4Knobs:
         assert (np.asarray(sb.status) == admm.OSQP_SOLVED).all()
         assert np.abs(np.asarray(sa.x) - np.asarray(sb.x)).max() < 1e-6
 
+    def test_cold_rho_same_optimum_and_warm_inert(self):
+        """round-5 knob: cold_rho changes only the COLD starting rho —
+        same converged optimum; a warm solve (have_warm=True) must be
+        bitwise identical with the knob on or off."""
+        P, A, q, l, u = self._problem(seed=5)
+        import dataclasses
+        base = LParameters(maximum_iteration=4000, eps_abs=1e-9,
+                           eps_rel=1e-9, polish=False, use_pallas=False,
+                           compact_stragglers=False, enable_warm_start=True)
+        hot = dataclasses.replace(base, cold_rho=0.5)
+        zx = jnp.zeros((q.shape[0], P.shape[0]))
+        zy = jnp.zeros((q.shape[0], A.shape[0]))
+        sa = admm.admm_solve(P, A, q, l, u, base, warm_x=zx, warm_y=zy,
+                             have_warm=jnp.asarray(False))
+        sb = admm.admm_solve(P, A, q, l, u, hot, warm_x=zx, warm_y=zy,
+                             have_warm=jnp.asarray(False))
+        assert (np.asarray(sa.status) == admm.OSQP_SOLVED).all()
+        assert (np.asarray(sb.status) == admm.OSQP_SOLVED).all()
+        assert np.abs(np.asarray(sa.x) - np.asarray(sb.x)).max() < 1e-6
+        # warm path: knob must be invisible
+        wa = admm.admm_solve(P, A, q, l, u, base, warm_x=sa.x, warm_y=sa.y,
+                             have_warm=jnp.asarray(True))
+        wb = admm.admm_solve(P, A, q, l, u, hot, warm_x=sa.x, warm_y=sa.y,
+                             have_warm=jnp.asarray(True))
+        assert np.array_equal(np.asarray(wa.x), np.asarray(wb.x))
+        assert np.array_equal(np.asarray(wa.iters), np.asarray(wb.iters))
+
     def test_stall_checks_inert_on_f64(self):
         """f64 runs never stall-freeze (the detector is gated to f32):
         identical solver output with the knob on or off."""

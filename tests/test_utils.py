@@ -159,3 +159,34 @@ class TestProfilerLazyFlush:
         s = prof.get_stats()
         assert s.number_of_solutions == 10
         assert s.solutions_states[ResultStatus.SUCCESS] == 10
+
+
+class TestRooflineModels:
+    """FLOP/bytes models (libmpc_tpu/utils/flops.py): structural sanity —
+    positive, monotone in problem size and iterations, and the fused-
+    Pallas bytes path amortizes iteration traffic over the check block."""
+
+    def test_flop_models_positive_and_monotone(self):
+        from libmpc_tpu.utils import flops as fl
+
+        a = fl.admm_solve_flops(216, 535, 20.0, 10)
+        b = fl.admm_solve_flops(216, 535, 40.0, 10)
+        assert 0 < a < b
+        s1 = fl.sqp_iter_flops(20, 10, 12, 6, 126)
+        s2 = fl.sqp_iter_flops(20, 10, 12, 6, 126, ipm_iters=40.0)
+        assert 0 < s1 < s2
+
+    def test_bytes_models(self):
+        from libmpc_tpu.utils import flops as fl
+
+        n, m = 216, 535
+        # pallas residency amortizes: per-iteration traffic of a 10-iter
+        # block must be far below one XLA iteration's traffic
+        blk = fl.admm_pallas_block_bytes(n, m)
+        xla = fl.admm_xla_iter_bytes(n, m)
+        assert blk / 10.0 < 0.25 * xla
+        # solve-level: pallas path moves fewer bytes than the XLA path
+        bp = fl.admm_solve_bytes(n, m, 20.0, 10, use_pallas=True)
+        bx = fl.admm_solve_bytes(n, m, 20.0, 10, use_pallas=False)
+        assert 0 < bp < bx
+        assert fl.admm_check_bytes(n, m) > 0
