@@ -57,8 +57,9 @@ def main():
     print(f"matched-state warm-step error: mean={warm.mean():.3e} "
           f"p99={np.quantile(warm, 0.99):.3e} max={warm.max():.3e}")
 
-    # the tail: all warm (instance, step) pairs with error > 10x p99
-    thr = max(10 * np.quantile(warm, 0.99), 1e-4)
+    # the tail: all warm (instance, step) pairs in the top decade below
+    # the max (the 3.2e-3-vs-3.2e-5 gap the round-4 verdict flagged)
+    thr = max(float(warm.max()) / 10.0, 1e-4)
     bi, ki = np.nonzero(err > thr)
     keep = ki > 0
     bi, ki = bi[keep], ki[keep]

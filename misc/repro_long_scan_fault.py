@@ -23,7 +23,7 @@ import subprocess
 import sys
 
 _PROBE = r"""
-import sys, json
+import sys, json, dataclasses
 sys.path.insert(0, {repo!r})
 import numpy as np, jax, jax.numpy as jnp
 from bench import _make_ugv
@@ -32,6 +32,12 @@ from libmpc_tpu.rollout import nlmpc_rollout
 K = int(sys.argv[1]); B = int(sys.argv[2])
 dtype = jnp.float32
 c, plant, params_fn, x0, *_ = _make_ugv(dtype, B)
+# pin the round-4 configuration the fault was characterized with (the
+# banded-IPM engine; program device-time per step is what trips the
+# transport, so the probe must hold the per-step cost constant)
+c.set_optimizer_parameters(dataclasses.replace(
+    c._params, hessian_reg="gershgorin", inner_qp="riccati",
+    cold_restart_on_failure=False, rescue_iters=0))
 try:
     r = nlmpc_rollout(c, plant, x0, jnp.zeros((B, 2), dtype), K,
                       params_fn=params_fn)
