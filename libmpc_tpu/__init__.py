@@ -29,7 +29,7 @@ from .utils.integrators import rk4, rk4_step
 from .utils.logger import Logger, LogLevel, LogType
 from .utils.profiler import Profiler, SolutionStats
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "LMPC",

@@ -46,6 +46,12 @@ class TestBenchScript:
             "LIBMPC_NL_B": "8",
             "LIBMPC_UGV_B": "4", "LIBMPC_UGV_K": "2",
             "LIBMPC_PEAK_SIZE": "256",
+            # round-5 sections: the latency table (multi-batch compiles,
+            # serving loop) and the osc B-scaling curve are TPU
+            # workloads; the HBM probe just needs a smaller buffer on CPU
+            "LIBMPC_SKIP_LATENCY": "1",
+            "LIBMPC_SKIP_OSC_SCALING": "1",
+            "LIBMPC_HBM_PROBE_MB": "64",
         })
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "8"],
