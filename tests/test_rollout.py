@@ -168,3 +168,62 @@ class TestRunnerCaching:
                               np.asarray(r5_chunk.inputs))
         assert np.array_equal(np.asarray(r5_full.states),
                               np.asarray(r5_chunk.states))
+
+
+class TestRescuePhase:
+    """NLParameters.rescue_iters: compacted two-phase rescue in
+    nlmpc_rollout (round 5)."""
+
+    def _mk(self, rescue, restart=False):
+        from libmpc_tpu import NLMPC
+
+        c = NLMPC(2, 1, 2, 10, 5, 11, 0, dtype=jnp.float32)
+        c.set_discretization_sampling_time(0.1)
+        c.set_optimizer_parameters(NLParameters(
+            maximum_iteration=30, enable_warm_start=True,
+            inner_qp="riccati", hessian_reg="gauss_newton",
+            inner_iters=30, inner_iters_recovery=30,
+            rescue_iters=rescue,
+            cold_restart_on_failure=restart,
+        ))
+        c.set_state_space_function(vdp_continuous)
+        c.set_objective_function(
+            lambda X, Y, U, e: jnp.sum(X**2) + jnp.sum(U**2)
+        )
+        c.set_ineq_con_function(lambda X, Y, U, e: U[:, 0] - 0.5)
+        return c
+
+    def test_rescue_no_worse_and_healthy_lanes_bitwise(self):
+        """The rescue phase may only IMPROVE failed lanes: lanes that are
+        healthy in both runs must be bitwise identical (the fast phase is
+        untouched), and the rescued run's failing-lane set is a subset of
+        the control's."""
+        ts = 0.1
+        vdp_b = jax.vmap(vdp_continuous, in_axes=(0, 0, None))
+        plant = lambda x, u, k: x + ts * vdp_b(x, u, k)
+        rng = np.random.default_rng(5)
+        x0 = np.asarray(rng.uniform(-1, 1, size=(32, 2)), np.float32)
+        u0 = np.zeros((32, 1), np.float32)
+        r1 = nlmpc_rollout(self._mk(rescue=45), plant, x0, u0, 4)
+        r0 = nlmpc_rollout(self._mk(rescue=0), plant, x0, u0, 4)
+        s1 = np.asarray(r1.statuses)
+        s0 = np.asarray(r0.statuses)
+        fail1 = set(np.nonzero((s1 != 0).any(1))[0].tolist())
+        fail0 = set(np.nonzero((s0 != 0).any(1))[0].tolist())
+        # this f32 cap-30 configuration produces failures by design (the
+        # rescue path must actually execute, not no-op through the cond)
+        assert fail0, "expected the fast config to produce failures"
+        assert fail1 <= fail0
+        healthy = [i for i in range(32) if i not in (fail0 | fail1)]
+        assert np.array_equal(np.asarray(r1.inputs)[healthy],
+                              np.asarray(r0.inputs)[healthy])
+
+    def test_cold_restart_rollout_runs(self):
+        ts = 0.1
+        vdp_b = jax.vmap(vdp_continuous, in_axes=(0, 0, None))
+        plant = lambda x, u, k: x + ts * vdp_b(x, u, k)
+        rng = np.random.default_rng(5)
+        x0 = np.asarray(rng.uniform(-1, 1, size=(8, 2)), np.float32)
+        r = nlmpc_rollout(self._mk(rescue=0, restart=True), plant, x0,
+                          np.zeros((8, 1), np.float32), 3)
+        assert np.isfinite(np.asarray(r.inputs)).all()
