@@ -149,6 +149,25 @@ class TestNLMPCFleet:
         text = str(stats)
         assert "SUCCESS" in text and "instances: 8" in text
 
+    def test_cold_restart_knob_runs_sharded(self, mesh8):
+        """cold_restart_on_failure threads a per-lane warm flag through the
+        shard_map step (P(axis) spec): multi-step fleet loop must compile,
+        run, and keep succeeding on healthy lanes."""
+        c = make_vdp_controller()
+        c.set_optimizer_parameters(NLParameters(
+            maximum_iteration=100, hessian_reg="eigh",
+            enable_warm_start=True, cold_restart_on_failure=True,
+        ))
+        fleet = NLMPCFleet(c, mesh8)
+        rng = np.random.default_rng(4)
+        x = rng.uniform(-1, 1, size=(8, 2))
+        u = np.zeros((8, 1))
+        for _ in range(3):
+            res, stats = fleet.optimize(x, u)
+            u = np.asarray(res.cmd)
+            x = x + 0.1 * rng.normal(size=x.shape) * 0.01
+        assert (np.asarray(res.status) == 0).all()
+
 
 class TestFleetFailureSemantics:
     """A failing fleet instance must hold its previous command, exactly like
