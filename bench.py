@@ -193,9 +193,11 @@ def main():
         B=env_int("LIBMPC_CL_B", 16384), K=env_int("LIBMPC_CL_K", 16),
         matmul_peak=matmul_peak, hbm_peak=hbm_peak)
     nlmpc_cl = _nlmpc_closed_loop_bench(
-        B=env_int("LIBMPC_NL_CL_B", 4096), K=env_int("LIBMPC_NL_CL_K", 16))
+        B=env_int("LIBMPC_NL_CL_B", 4096), K=env_int("LIBMPC_NL_CL_K", 16),
+        matmul_peak=matmul_peak)
     osc = _nlmpc_osc_bench(
-        B=env_int("LIBMPC_OSC_B", 256), K=env_int("LIBMPC_OSC_K", 8))
+        B=env_int("LIBMPC_OSC_B", 256), K=env_int("LIBMPC_OSC_K", 8),
+        matmul_peak=matmul_peak)
     ugv = _ugv_bench(B=env_int("LIBMPC_UGV_B", 256),
                      K=env_int("LIBMPC_UGV_K", 150))
 
@@ -454,7 +456,7 @@ def _make_vdp(dtype, params):
     return c, vdp
 
 
-def _nlmpc_closed_loop_bench(B: int = 4096, K: int = 16):
+def _nlmpc_closed_loop_bench(B: int = 4096, K: int = 16, matmul_peak=None):
     """Plant-coupled receding-horizon NLMPC (Van der Pol): full closed loop
     on device via nlmpc_rollout — the warm-start shift + carried slack live
     in the scan carry, like the reference carries opt_vector across steps
@@ -493,6 +495,18 @@ def _nlmpc_closed_loop_bench(B: int = 4096, K: int = 16):
         "nlmpc_closed_loop_success_frac": round(
             float(np.mean(np.asarray(r.statuses) == 0)), 4),
     }
+    if matmul_peak:
+        # fused-engine FLOP model (libmpc_tpu/utils/flops.py) — the MXU
+        # axis of the roofline; this row has no HBM model (tiny arrays,
+        # VMEM-resident kernel): the binding factor is small-block
+        # pipeline depth, not either hardware ceiling (performance.md)
+        from libmpc_tpu.utils import flops as fl
+        nz, me, mi = 26, 20, 11
+        tfl = (fl.fused_sqp_iter_flops(nz, me, mi)
+               * float(iters.mean()) * rate / 1e12)
+        out["nlmpc_closed_loop_tflops_est"] = round(tfl, 4)
+        out["nlmpc_closed_loop_pct_matmul_peak"] = round(
+            100.0 * tfl / matmul_peak, 2)
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "misc", "results", "vdp_closed_loop_ref_f64.npz")
     # skip the oracle-sized comparison for sub-oracle smoke runs
@@ -613,7 +627,7 @@ def _osc_run(B, K, dtype=jnp.float32):
     return rate, r
 
 
-def _nlmpc_osc_bench(B: int = 256, K: int = 8):
+def _nlmpc_osc_bench(B: int = 256, K: int = 8, matmul_peak=None):
     """Networked-oscillators NLMPC at real size (nz=301): full closed loop
     on device.  The fused inner-QP engine is size-gated out at this nz;
     the solve runs gauss_newton curvature (constant objective Hessian, no
@@ -635,9 +649,14 @@ def _nlmpc_osc_bench(B: int = 256, K: int = 8):
         "nlmpc_osc_success_frac": round(
             float(np.mean(np.asarray(r.statuses) == 0)), 4),
         # banded-IPM FLOP model at the documented ~20 inner iterations
-        # (libmpc_tpu/utils/flops.py::sqp_iter_flops)
+        # (libmpc_tpu/utils/flops.py::sqp_iter_flops).  No HBM model for
+        # this row: the engine is compute-bound per lane on 30x30 stage
+        # blocks (B-scaling flat), so neither hardware ceiling describes
+        # it — see docs/performance.md, the two-ceiling roofline
         "nlmpc_osc_tflops_est": round(tfl, 4),
     }
+    if matmul_peak:
+        out["nlmpc_osc_pct_matmul_peak"] = round(100.0 * tfl / matmul_peak, 2)
     # B-scaling curve (round-5 task #2): measured THROUGHPUT-FLAT across
     # 256-1024 (the engine is compute-bound per lane, not latency-bound),
     # recorded so the "batch is free throughput" hypothesis has data
