@@ -761,13 +761,18 @@ def _ugv_run_chunks(c, plant, params_fn, x0, K):
     compared trajectories share the identical restart schedule."""
     from libmpc_tpu.rollout import nlmpc_rollout
 
-    csize = int(os.environ.get("LIBMPC_UGV_CHUNK", 30))
-    chunk = csize if K % csize == 0 and K >= csize else K
+    csize = max(int(os.environ.get("LIBMPC_UGV_CHUNK", 30)), 1)
+    chunk = min(csize, K)
     x = x0
     u = jnp.zeros((x0.shape[0], 2), x0.dtype)
     pieces = []
-    for _ in range(K // chunk):
-        r = nlmpc_rollout(c, plant, x, u, chunk, params_fn=params_fn)
+    # ragged schedule: never fall back to a one-shot K-step program (the
+    # transport faults past ~52 steps — misc/repro_long_scan_fault.py)
+    schedule = [chunk] * (K // chunk)
+    if K % chunk:
+        schedule.append(K % chunk)
+    for csteps in schedule:
+        r = nlmpc_rollout(c, plant, x, u, csteps, params_fn=params_fn)
         jax.block_until_ready(r.inputs)
         pieces.append(r)
         x = r.states[:, -1]

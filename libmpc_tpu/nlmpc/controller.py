@@ -640,7 +640,6 @@ class NLMPC:
         use_arr = jnp.broadcast_to(jnp.asarray(use_prev), batch)
         if (
             use_prev
-            and batch
             and self._params.cold_restart_on_failure
             and self._result.status.shape == batch
         ):

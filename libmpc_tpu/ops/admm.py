@@ -1224,23 +1224,56 @@ def _admm_solve_hp(
     ls = jnp.where(l <= -INF_BOUND, l, l * e[None, :])
     us = jnp.where(u >= INF_BOUND, u, u * e[None, :])
 
+    # cold-solve rho escalation (params.cold_rho): a cold batch starts at
+    # the stiffer cold rho — its shared KKT factor is built only on the
+    # cold branch of a scalar cond, so warm solves pay nothing.  rho and
+    # the factor are batch-shared, so the escalation applies only when NO
+    # lane is warm (the closed-loop shape: step 0 all-cold, every later
+    # step warm; a MIXED per-lane have_warm batch keeps the warm rho —
+    # escalating it would tax every warm lane for the few cold ones).
+    rho0 = params.rho
+    M0_run, Minv0_run = prepared.M0, prepared.Minv0
+    if params.cold_rho > 0:
+        if have_warm is not None:
+            any_warm = jnp.any(jnp.asarray(have_warm))
+        elif warm_x is not None and params.enable_warm_start:
+            any_warm = jnp.asarray(True)
+        else:
+            any_warm = jnp.asarray(False)
+        sigma_v, rho_lo, rho_hi = _rho_bounds(dtype, params)
+        rho_cold = jnp.clip(
+            jnp.asarray(params.cold_rho, dtype), rho_lo, rho_hi
+        )
+        rho0 = jnp.where(any_warm, jnp.asarray(params.rho, dtype), rho_cold)
+        M0_run, Minv0_run = jax.lax.cond(
+            any_warm,
+            lambda: (prepared.M0, prepared.Minv0),
+            lambda: _build_kkt_inverse(
+                Ps, As, _rho_vec_of(rho_cold, eq_mask, loose_mask),
+                jnp.asarray(sigma_v, dtype), axis_rows,
+            ),
+        )
+
     y_seed = jnp.zeros((B, m), dtype)
     if params.cold_start in ("kkt", "kkt_duals"):
         # seed the cold start at the minimizer of the rho-weighted
         # equality-anchored quadratic model: one ADMM x-update evaluated at
         # z = clip(0, l, u) (which IS the equality RHS on equality rows),
-        # y = 0 — a single matmul against the already-prepared KKT inverse.
+        # y = 0 — a single matmul against the KKT inverse THE COLD SOLVE
+        # WILL RUN WITH (Minv0_run: the cold-rho factor under cold_rho,
+        # else the prepared warm-rho factor), so the seeded pair is
+        # consistent with the solve's own initial rho.
         # Measured on the quadrotor closed loop (round 4): the PRIMAL-only
         # seed increased cold iterations (209.8 vs 195.1 mean) — a good
         # primal with zero duals starts the ADMM off the central path —
         # which is why "zeros" stayed the default.
         rho_vec0 = _rho_vec_of(
-            jnp.clip(jnp.asarray(params.rho, dtype),
+            jnp.clip(jnp.asarray(rho0, dtype),
                      *_rho_bounds(dtype, params)[1:]),
             eq_mask, loose_mask,
         )
         z_t = jnp.clip(0.0, ls, us)
-        x_seed = ((rho_vec0 * z_t) @ As - qs) @ prepared.Minv0
+        x_seed = ((rho_vec0 * z_t) @ As - qs) @ Minv0_run
         if params.cold_start == "kkt_duals":
             # round-5 attempt 2 (the round-4 rejection's own diagnosis):
             # seed the DUALS too, from the seeded primal's constraint
@@ -1277,35 +1310,6 @@ def _admm_solve_hp(
 
     if iter_budget is None:
         iter_budget = jnp.asarray(NO_BUDGET, jnp.int32)
-
-    # cold-solve rho escalation (params.cold_rho): a cold batch starts at
-    # the stiffer cold rho — its shared KKT factor is built only on the
-    # cold branch of a scalar cond, so warm solves pay nothing.  rho and
-    # the factor are batch-shared, so the escalation applies only when
-    # the WHOLE batch is cold (the closed-loop shape: step 0 cold, every
-    # later step warm).
-    rho0 = params.rho
-    M0_run, Minv0_run = prepared.M0, prepared.Minv0
-    if params.cold_rho > 0:
-        if have_warm is not None:
-            all_warm = jnp.all(jnp.asarray(have_warm))
-        elif warm_x is not None and params.enable_warm_start:
-            all_warm = jnp.asarray(True)
-        else:
-            all_warm = jnp.asarray(False)
-        sigma_v, rho_lo, rho_hi = _rho_bounds(dtype, params)
-        rho_cold = jnp.clip(
-            jnp.asarray(params.cold_rho, dtype), rho_lo, rho_hi
-        )
-        rho0 = jnp.where(all_warm, jnp.asarray(params.rho, dtype), rho_cold)
-        M0_run, Minv0_run = jax.lax.cond(
-            all_warm,
-            lambda: (prepared.M0, prepared.Minv0),
-            lambda: _build_kkt_inverse(
-                Ps, As, _rho_vec_of(rho_cold, eq_mask, loose_mask),
-                jnp.asarray(sigma_v, dtype), axis_rows,
-            ),
-        )
 
     state = _admm_loop(
         Ps, As, qs, ls, us, x0, y0,

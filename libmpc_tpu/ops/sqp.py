@@ -494,7 +494,9 @@ def _sqp_solve_hp(
             # two-phase path is the rollout-level compacted rescue
             # (NLParameters.rescue_iters) instead.
             it_base = params.inner_iters or 45
-            it_deep = params.inner_iters_recovery or it_base
+            # clamp: a recovery cap below the base would DE-escalate the
+            # struggling lanes (the measured flat-30 failure mode)
+            it_deep = max(params.inner_iters_recovery or it_base, it_base)
             ipm_cap = jnp.where(
                 s.ls_fails > 0, it_deep, it_base
             ).astype(jnp.int32)

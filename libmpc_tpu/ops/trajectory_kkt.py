@@ -1062,11 +1062,9 @@ def ipm_solve(
     # Stall-frozen lanes within the 10x residual band report
     # OSQP_SOLVED_INACCURATE (the f32 noise-floor case the freeze exists
     # for); otherwise OSQP_MAX_ITER_REACHED.
-    ok = ~st.stall_frz & (
-        (st.done & ~st.fail & ~st.cap_frz)
-        | ((gap < 1e3 * eps) & (res < 1e2 * eps_res))
-    )
-    inacc = st.stall_frz & (res < 10.0 * eps_res)
+    relaxed = (gap < 1e3 * eps) & (res < 1e2 * eps_res)
+    ok = (st.done & ~st.fail & ~st.stall_frz & ~st.cap_frz) | relaxed
+    inacc = st.stall_frz & ~relaxed & (res < 10.0 * eps_res)
     return TrajIPMSolution(
         d=st.d,
         nu=st.nu,

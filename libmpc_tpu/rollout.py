@@ -169,19 +169,54 @@ def nlmpc_rollout(controller, plant_fn: Callable, x0, last_u, n_steps: int,
         # at full width (measured: misc/ab_osc_escalation.py).
         rescue_k = 0
         if c._params.rescue_iters > 0 and batch:
-            B = batch[0]
-            rescue_k = min(B, max(16, B // 16))
-            import dataclasses as _dc
+            # the rescue re-solves from the SAME entry state, so it only
+            # helps when its parameters actually change the solve — i.e.
+            # when the banded-KKT (riccati) engine is in use, whose
+            # inner_iters cap the rescue deepens.  Mirror ops/sqp.py's
+            # engine routing; with any other engine the rescue would be a
+            # deterministic repeat of the same failure, so it is disabled
+            # with a warning instead of silently burning device time.
+            p_ = c._params
+            dims_ = c.dims
+            plan = c._get_traj_plan()
+            f32 = c.dtype == jnp.float32
+            me = dims_.ph * dims_.nx + dims_.eq
+            m_qp = me + dims_.ineq + dims_.nz
+            from .ops import qp_inner_pallas as _qip
 
-            rescue_params = _dc.replace(
-                c._params, rescue_iters=0,
-                inner_iters=c._params.rescue_iters,
-                inner_iters_recovery=c._params.rescue_iters,
+            backend_ok = jax.default_backend() in ("tpu", "cpu")
+            fused_in_use = (
+                p_.inner_qp == "fused" and f32 and backend_ok
+                and _qip.supported(dims_.nz, m_qp)
             )
-            rescue_solve = jax.vmap(
-                c._make_solve_one(rescue_params),
-                in_axes=(0, 0, 0, 0, 0, p_axis, b_axis, b_axis),
+            traj_in_use = (
+                plan is not None
+                and p_.hessian_reg in ("gauss_newton", "gershgorin", "power")
+                and (p_.inner_qp == "riccati"
+                     or (p_.inner_qp == "fused" and not fused_in_use))
             )
+            if traj_in_use:
+                B = batch[0]
+                rescue_k = min(B, max(16, B // 16))
+                import dataclasses as _dc
+
+                rescue_params = _dc.replace(
+                    p_, rescue_iters=0,
+                    inner_iters=p_.rescue_iters,
+                    inner_iters_recovery=p_.rescue_iters,
+                )
+                rescue_solve = jax.vmap(
+                    c._make_solve_one(rescue_params),
+                    in_axes=(0, 0, 0, 0, 0, p_axis, b_axis, b_axis),
+                )
+            else:
+                from .utils.logger import Logger
+
+                Logger.instance().info(
+                    "rescue_iters > 0 has no effect with the current inner "
+                    "engine (it deepens the banded-KKT IPM cap only); "
+                    "rescue phase disabled for this rollout"
+                )
 
         @jax.jit
         def run(x0, u0, z0, slack0, hw0, k0, p, lb, ub):

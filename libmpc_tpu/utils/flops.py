@@ -157,8 +157,9 @@ def admm_solve_bytes(n: int, m: int, iters: float, check_every: int,
     """HBM bytes of one ADMM solve at a measured iteration count."""
     checks = max(iters / max(check_every, 1), 1.0)
     if use_pallas:
-        per_iter = checks * admm_pallas_block_bytes(n, m) / max(iters, 1.0)
-        iter_bytes = iters * per_iter
+        # one block's traffic per check window, independent of how many
+        # iterations the window ran (the tile stays VMEM-resident)
+        iter_bytes = checks * admm_pallas_block_bytes(n, m)
     else:
         iter_bytes = iters * admm_xla_iter_bytes(n, m, x_refine)
     return iter_bytes + checks * admm_check_bytes(n, m)

@@ -70,10 +70,19 @@ def run(name, B=256, K=8, **upd):
 
 
 if __name__ == "__main__":
+    # NOTE: the recorded round-5 run (misc/results/ROUND5_MEASUREMENTS.txt)
+    # predates the engine-default change from esc30/60 back to flat 45 —
+    # every arm is therefore explicit here so the script stays
+    # reproducible regardless of the defaults.
     run("flat45      ", inner_iters=45, inner_iters_recovery=45)
-    run("esc30/60    ")
+    run("esc30/60    ", inner_iters=30, inner_iters_recovery=60)
     run("esc30/45    ", inner_iters=30, inner_iters_recovery=45)
-    run("esc30/60 rst", cold_restart_on_failure=True)
-    # B-scaling of the default config (round-5 task #2 second half)
+    run("esc30/60 rst", inner_iters=30, inner_iters_recovery=60,
+        cold_restart_on_failure=True)
+    run("flat30      ", inner_iters=30, inner_iters_recovery=30)
+    run("30+rescue45 ", inner_iters=30, inner_iters_recovery=30,
+        rescue_iters=45)
+    # B-scaling of the shipped config (round-5 task #2 second half)
     for B in (512, 1024):
-        run(f"esc30/60    ", B=B, K=4)
+        run("30+rescue45 ", B=B, K=4, inner_iters=30,
+            inner_iters_recovery=30, rescue_iters=45)
